@@ -1,0 +1,147 @@
+"""RNS base and fast base conversion.
+
+TPU-native rebuild of reference src/utils/rns_base.{h,cu} (RNSBase, CRT
+compose/decompose, BaseConverter with the HPS/BEHZ fast_convert_array).
+
+Host side keeps Python-int CRT machinery for setup/encoders/tests; device
+side is pure u32: the base-change "matrix" multiply
+
+    y_j = sum_i [x_i * (Q/q_i)^-1]_{q_i} * [(Q/q_i)]_{p_j}  mod p_j
+
+is evaluated with Shoup multiplies for the per-limb constants and a static
+Python loop over input limbs with modular accumulation (the limb count is a
+trace-time constant, so XLA fully unrolls and fuses the chain).  A future
+MXU path can lower this to int8-limb matmuls (ops/ntt roadmap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.modulus import Modulus
+from ..utils import numth
+from ..ops import u32 as U
+
+
+class RNSBase:
+    """An ordered set of pairwise-coprime word-size moduli
+    (ref: rns_base.h:11-17)."""
+
+    def __init__(self, moduli: list[Modulus]):
+        if not moduli:
+            raise ValueError("[RNSBase] empty base")
+        vals = [m.value for m in moduli]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                if not numth.are_coprime(vals[i], vals[j]):
+                    raise ValueError("[RNSBase] moduli must be pairwise coprime")
+        self.moduli = moduli
+        self.values = vals
+        self.size = len(vals)
+        self.prod: int = 1
+        for v in vals:
+            self.prod *= v
+        # punctured products Q/q_i and their inverses mod q_i (Shoup form)
+        self.punctured = [self.prod // v for v in vals]
+        self.inv_punctured = [
+            numth.invert_mod(p % v, v) for p, v in zip(self.punctured, vals)
+        ]
+        self._pack = None
+
+    # -- host CRT (ref: rns_base compose/decompose_single) ------------------
+    def decompose(self, value: int) -> list[int]:
+        value %= self.prod
+        return [value % v for v in self.values]
+
+    def compose(self, residues: list[int]) -> int:
+        acc = 0
+        for r, p, ip, v in zip(residues, self.punctured, self.inv_punctured, self.values):
+            acc += (r * ip % v) * p
+        return acc % self.prod
+
+    def compose_centered(self, residues: list[int]) -> int:
+        """Compose then center into (-Q/2, Q/2]."""
+        v = self.compose(residues)
+        return v - self.prod if v > self.prod // 2 else v
+
+    def decompose_array_host(self, values) -> np.ndarray:
+        """Python-int iterable (length n) -> (L, n) u32 residues."""
+        out = np.empty((self.size, len(values)), dtype=np.uint32)
+        for i, q in enumerate(self.values):
+            out[i] = np.array([int(v) % q for v in values], dtype=np.uint32)
+        return out
+
+    def compose_array_host(self, arr: np.ndarray) -> list[int]:
+        """(L, n) residues -> list of Python ints in [0, Q)."""
+        return [
+            self.compose([int(arr[i, j]) for i in range(self.size)])
+            for j in range(arr.shape[1])
+        ]
+
+    # -- device tables ------------------------------------------------------
+    def pack(self) -> dict:
+        if self._pack is None:
+            q = np.array(self.values, dtype=np.uint32)
+            hi = np.array([m.ratio64_hi for m in self.moduli], dtype=np.uint32)
+            lo = np.array([m.ratio64_lo for m in self.moduli], dtype=np.uint32)
+            invp = np.array(self.inv_punctured, dtype=np.uint32)
+            invp_sh = np.array(
+                [ (ip << 32) // v for ip, v in zip(self.inv_punctured, self.values)],
+                dtype=np.uint64,
+            ).astype(np.uint32)
+            self._pack = {
+                "q": jnp.asarray(q),
+                "ratio_hi": jnp.asarray(hi),
+                "ratio_lo": jnp.asarray(lo),
+                "inv_punctured": jnp.asarray(invp),
+                "inv_punctured_shoup": jnp.asarray(invp_sh),
+            }
+        return self._pack
+
+
+class BaseConverter:
+    """Fast (approximate) base conversion ibase -> obase
+    (ref: rns_base.h:158-207 fast_convert_array).
+
+    Output equals the input integer plus alpha * prod(ibase) for some
+    0 <= alpha < len(ibase) — the BEHZ machinery corrects alpha where needed.
+    """
+
+    def __init__(self, ibase: RNSBase, obase: RNSBase):
+        self.ibase = ibase
+        self.obase = obase
+        # matrix[j, i] = (Q/q_i) mod p_j
+        mat = np.empty((obase.size, ibase.size), dtype=np.uint32)
+        for j, p in enumerate(obase.values):
+            for i, punc in enumerate(ibase.punctured):
+                mat[j, i] = punc % p
+        self._mat = jnp.asarray(mat)
+
+    def convert(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (..., L_in, n) residues in ibase -> (..., L_out, n) in obase."""
+        ip = self.ibase.pack()
+        op = self.obase.pack()
+        lead = (1,) * (x.ndim - 2)
+        # tmp_i = [x_i * (Q/q_i)^-1]_{q_i}
+        tmp = U.shoup_mul(
+            x,
+            ip["inv_punctured"].reshape(lead + (-1, 1)),
+            ip["inv_punctured_shoup"].reshape(lead + (-1, 1)),
+            ip["q"].reshape(lead + (-1, 1)),
+        )
+        p = op["q"].reshape(lead + (-1, 1))
+        p_hi = op["ratio_hi"].reshape(lead + (-1, 1))
+        p_lo = op["ratio_lo"].reshape(lead + (-1, 1))
+        acc = None
+        for i in range(self.ibase.size):
+            term = U.mul_mod(
+                tmp[..., i : i + 1, :], self._mat[:, i].reshape(lead + (-1, 1)),
+                p, p_hi, p_lo,
+            )
+            acc = term if acc is None else U.add_mod(acc, term, p)
+        return acc
+
+    def convert_single_limb(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Shortcut when the target base has one modulus — returns (..., 1, n)."""
+        return self.convert(x)
