@@ -1,0 +1,115 @@
+"""Decryptor.
+
+TPU-native rebuild of reference src/decryptor.{h,cu}: phase computation
+sum_i c_i * s^i via cached NTT-form secret-key powers, then per-scheme final
+step:
+
+  BFV : decrypt_scale_and_round via {t, gamma}   (rns_tool, integer-exact)
+  CKKS: phase stays in NTT/RNS form (the CKKSEncoder decodes it)
+  BGV : INTT + exact mod-t conversion + correction-factor fixup
+
+plus invariant_noise_budget (BFV/BGV, ref: decryptor.cu:581) computed by
+host-side CRT composition (a debug/metrics op, not a hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .context import HeContext, ContextData
+from .params import SchemeType
+from .plaintext import Plaintext
+from .ciphertext import Ciphertext
+from .keys import SecretKey
+from ..ops import ntt as NTT, poly as P, u32 as U
+from ..utils import numth
+
+
+class Decryptor:
+    def __init__(self, context: HeContext, sk: SecretKey):
+        self.context = context
+        self.sk = sk
+        self._sk_powers: dict[int, jnp.ndarray] = {1: sk.data}
+
+    def _power(self, k: int) -> jnp.ndarray:
+        if k not in self._sk_powers:
+            cd = self.context.key_context_data()
+            self._sk_powers[k] = P.dyadic_product(
+                self._power(k - 1), self.sk.data, cd.qtab()
+            )
+        return self._sk_powers[k]
+
+    # ------------------------------------------------------------------
+    def phase(self, ct: Ciphertext, keep_ntt: bool | None = None) -> jnp.ndarray:
+        """c0 + c1 s + c2 s^2 + ... at ct's level (ref: decryptor.h:19)."""
+        cd = self.context.get_context_data(ct.parms_id)
+        qtab = cd.qtab()
+        L = cd.coeff_modulus_size
+        q = qtab["q"][:, None]
+        if ct.is_ntt_form:
+            acc = ct.data[0]
+            for i in range(1, ct.size):
+                acc = U.add_mod(
+                    acc, P.dyadic_product(ct.data[i], self._power(i)[:L], qtab), q
+                )
+            if keep_ntt is False:
+                acc = NTT.ntt_inverse(acc, qtab)
+            return acc
+        # coeff-form ct (BFV): NTT the c_i (i>=1), multiply, INTT, add c0
+        acc = None
+        for i in range(1, ct.size):
+            ci = NTT.ntt_forward(ct.data[i], qtab)
+            term = P.dyadic_product(ci, self._power(i)[:L], qtab)
+            acc = term if acc is None else U.add_mod(acc, term, q)
+        acc = NTT.ntt_inverse(acc, qtab)
+        return U.add_mod(acc, ct.data[0], q)
+
+    # ------------------------------------------------------------------
+    def decrypt(self, ct: Ciphertext) -> Plaintext:
+        cd = self.context.get_context_data(ct.parms_id)
+        scheme = cd.parms.scheme
+        if scheme == SchemeType.BFV:
+            ph = self.phase(ct)
+            m = cd.rns_tool.decrypt_scale_and_round(ph)
+            return Plaintext(m[None, :], parms_id=ct.parms_id)
+        if scheme == SchemeType.CKKS:
+            ph = self.phase(ct)  # stays NTT form
+            return Plaintext(ph, parms_id=ct.parms_id, scale=ct.scale,
+                             is_ntt_form=True)
+        if scheme == SchemeType.BGV:
+            ph = self.phase(ct, keep_ntt=False)
+            m = cd.rns_tool.decrypt_mod_t(ph)
+            if ct.correction_factor != 1:
+                t = cd.parms.plain_modulus
+                inv_cf = numth.invert_mod(ct.correction_factor, t.value)
+                m = U.mul_mod(m, U.u32(inv_cf), U.u32(t.value),
+                              U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
+            return Plaintext(m[None, :], parms_id=ct.parms_id)
+        raise ValueError("[Decryptor] unsupported scheme")
+
+    def bfv_decrypt_without_scaling_down(self, ct: Ciphertext) -> Plaintext:
+        """Raw phase in RNS (ref: decryptor.h:62)."""
+        return Plaintext(self.phase(ct), parms_id=ct.parms_id)
+
+    # ------------------------------------------------------------------
+    def invariant_noise_budget(self, ct: Ciphertext) -> int:
+        """log2(q / 2*||t*phase mod q||) in bits (BFV/BGV;
+        ref: decryptor.cu:581).  Host-side CRT compose — a debug op."""
+        cd = self.context.get_context_data(ct.parms_id)
+        t = cd.parms.plain_modulus.value
+        if not t:
+            raise ValueError("[Decryptor] noise budget needs a plain modulus")
+        ph = np.asarray(self.phase(ct, keep_ntt=False))
+        base = cd.base_q
+        Q = base.prod
+        norm = 0
+        composed = base.compose_array_host(ph)
+        for v in composed:
+            w = (v * t) % Q
+            if w > Q // 2:
+                w = Q - w
+            norm = max(norm, w)
+        if norm == 0:
+            return Q.bit_length() - 1
+        return max(0, Q.bit_length() - norm.bit_length() - 1)

@@ -1,0 +1,108 @@
+"""Encryptor.
+
+TPU-native rebuild of reference src/encryptor.{h,cu}: asymmetric (public-key)
+and symmetric (secret-key, seed-compressible) encryption for all three
+schemes.  Scheme plaintext fusion (encryptor.cu encrypt_internal):
+
+  BFV : zero-ct (coeff domain) + scale_up(m)         [m mod t, coeff domain]
+  CKKS: zero-ct (NTT domain)  + m                    [m already RNS/NTT]
+  BGV : zero-ct (NTT domain)  + NTT(centralize(m))   [m mod t]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .context import HeContext, ContextData
+from .params import SchemeType, ParmsID
+from .plaintext import Plaintext
+from .ciphertext import Ciphertext
+from .keys import PublicKey, SecretKey
+from .rlwe import encrypt_zero_symmetric, encrypt_zero_asymmetric
+from ..ops import ntt as NTT, u32 as U
+from ..utils.random import RandomGenerator
+
+
+class Encryptor:
+    def __init__(self, context: HeContext, pk: PublicKey | None = None,
+                 sk: SecretKey | None = None,
+                 prng: RandomGenerator | None = None):
+        self.context = context
+        self.pk = pk
+        self.sk = sk
+        self.prng = prng or RandomGenerator(context.seed)
+
+    # ------------------------------------------------------------------
+    def _level(self, parms_id: ParmsID | None) -> ContextData:
+        pid = parms_id or self.context.first_parms_id
+        return self.context.get_context_data(pid)
+
+    def encrypt_zero_asymmetric(self, parms_id: ParmsID | None = None) -> Ciphertext:
+        if self.pk is None:
+            raise ValueError("[Encryptor] no public key set")
+        cd = self._level(parms_id)
+        ntt_form = cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
+        data = encrypt_zero_asymmetric(cd, self.pk.data(), self.prng, ntt_form)
+        return Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form)
+
+    def encrypt_zero_symmetric(self, parms_id: ParmsID | None = None,
+                               save_seed: bool = False) -> Ciphertext:
+        if self.sk is None:
+            raise ValueError("[Encryptor] no secret key set")
+        cd = self._level(parms_id)
+        ntt_form = cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
+        seed = self.prng.new_seed() if save_seed else None
+        data = encrypt_zero_symmetric(cd, self.sk.data, self.prng, ntt_form, seed)
+        return Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form, seed=seed)
+
+    # ------------------------------------------------------------------
+    def _add_plain(self, ct: Ciphertext, plain: Plaintext, cd: ContextData) -> Ciphertext:
+        scheme = cd.parms.scheme
+        qtab = cd.qtab()
+        q = qtab["q"][:, None]
+        if scheme == SchemeType.BFV:
+            delta_m = cd.scaler.scale_up(plain.data[0])
+            c0 = U.add_mod(ct.data[0], delta_m, q)
+        elif scheme == SchemeType.CKKS:
+            if plain.parms_id != cd.parms_id:
+                raise ValueError("[Encryptor] CKKS plaintext level mismatch")
+            m = plain.data if plain.is_ntt_form else NTT.ntt_forward(plain.data, qtab)
+            c0 = U.add_mod(ct.data[0], m, q)
+            ct.scale = plain.scale
+        elif scheme == SchemeType.BGV:
+            m = NTT.ntt_forward(_centralize_bgv(cd, plain.data[0]), qtab)
+            c0 = U.add_mod(ct.data[0], m, q)
+        else:
+            raise ValueError("[Encryptor] unsupported scheme")
+        ct.data = ct.data.at[0].set(c0)
+        return ct
+
+    def encrypt_asymmetric(self, plain: Plaintext,
+                           parms_id: ParmsID | None = None) -> Ciphertext:
+        cd = self._level(
+            plain.parms_id if self.context.scheme == SchemeType.CKKS else parms_id
+        )
+        ct = self.encrypt_zero_asymmetric(cd.parms_id)
+        return self._add_plain(ct, plain, cd)
+
+    def encrypt_symmetric(self, plain: Plaintext,
+                          parms_id: ParmsID | None = None,
+                          save_seed: bool = False) -> Ciphertext:
+        cd = self._level(
+            plain.parms_id if self.context.scheme == SchemeType.CKKS else parms_id
+        )
+        ct = self.encrypt_zero_symmetric(cd.parms_id, save_seed)
+        # adding the message into c0 leaves the seeded c1 untouched
+        return self._add_plain(ct, plain, cd)
+
+
+def _centralize_bgv(cd: ContextData, m_mod_t):
+    """Centered lift of a mod-t polynomial into the level's RNS base
+    (shared by BGV encrypt/add_plain; ref: scaling_variant centralize)."""
+    from ..rns.scaling import BFVScaler
+
+    scaler = getattr(cd, "_bgv_centralizer", None)
+    if scaler is None:
+        scaler = BFVScaler(cd.base_q, cd.parms.plain_modulus)
+        cd._bgv_centralizer = scaler
+    return scaler.centralize(m_mod_t)

@@ -1,0 +1,514 @@
+"""Evaluator: homomorphic operations for BFV / CKKS / BGV.
+
+TPU-native rebuild of reference src/evaluator*.cu (~5 kLoC over 8 files):
+translate (add/sub/negate, ct+-plain), multiply (BEHZ BFV multiply, NTT-domain
+CKKS/BGV dyadic products), keyswitching (relinearize / apply_galois /
+rotations over single-special-prime GHS keys), modswitch/rescale, and NTT
+transforms.  LWE extract/pack lives in core/lwe_ops.py; batched variants are
+leading-axis broadcasts of the same code paths.
+
+Every op is a pure function: inputs are Ciphertext wrappers around (size, L,
+n) u32 arrays; outputs are new Ciphertexts.  Per-level constants come from
+ContextData (lazily built, cached); jit compilation is cached by array shape,
+so each (level, size) pair compiles once — the XLA analog of the reference's
+per-level precomputed device tables (SURVEY.md §7 hard part (f)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .context import HeContext, ContextData
+from .params import SchemeType, ParmsID
+from .plaintext import Plaintext
+from .ciphertext import Ciphertext
+from .keys import KSwitchKeys, RelinKeys, GaloisKeys
+from ..ops import ntt as NTT, poly as P, u32 as U
+from ..ops.dyadic import (
+    dyadic_convolute,
+    dyadic_square,
+    dyadic_broadcast_product,
+)
+from ..ops.galois import GaloisTool
+from ..rns.scaling import BFVScaler
+from ..utils import numth
+
+
+class Evaluator:
+    def __init__(self, context: HeContext):
+        self.context = context
+
+    # ==================================================================
+    # helpers
+    # ==================================================================
+    def _cd(self, ct: Ciphertext | Plaintext) -> ContextData:
+        return self.context.get_context_data(ct.parms_id)
+
+    @staticmethod
+    def _check_same(ct1: Ciphertext, ct2: Ciphertext, op: str):
+        if ct1.parms_id != ct2.parms_id:
+            raise ValueError(f"[Evaluator.{op}] operands at different levels")
+        if ct1.is_ntt_form != ct2.is_ntt_form:
+            raise ValueError(f"[Evaluator.{op}] NTT form mismatch")
+
+    def _centralizer(self, cd: ContextData) -> BFVScaler:
+        s = getattr(cd, "_bgv_centralizer", None)
+        if s is None:
+            s = BFVScaler(cd.base_q, cd.parms.plain_modulus)
+            cd._bgv_centralizer = s
+        return s
+
+    # ==================================================================
+    # translate: negate / add / sub (ref: evaluator_translate.cu)
+    # ==================================================================
+    def negate(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        out = ct.clone()
+        out.data = P.negate(ct.data, cd.qtab())
+        return out
+
+    def _balance_bgv(self, ct1: Ciphertext, ct2: Ciphertext, cd: ContextData):
+        """Equalize BGV correction factors (ref: evaluator_translate.cu
+        balance_correction_factors; simple exact variant)."""
+        if ct1.correction_factor == ct2.correction_factor:
+            return ct1, ct2, ct1.correction_factor
+        t = cd.parms.plain_modulus.value
+        f1, f2 = ct1.correction_factor, ct2.correction_factor
+        a = ct1.clone()
+        b = ct2.clone()
+        a.data = P.multiply_scalar(ct1.data, f2 % t, cd.qtab())
+        b.data = P.multiply_scalar(ct2.data, f1 % t, cd.qtab())
+        a.correction_factor = b.correction_factor = f1 * f2 % t
+        return a, b, f1 * f2 % t
+
+    def add(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        self._check_same(ct1, ct2, "add")
+        cd = self._cd(ct1)
+        if cd.parms.scheme == SchemeType.BGV:
+            ct1, ct2, cf = self._balance_bgv(ct1, ct2, cd)
+        if ct1.size != ct2.size:
+            big, small = (ct1, ct2) if ct1.size > ct2.size else (ct2, ct1)
+            pad = jnp.zeros(
+                (big.size - small.size,) + small.data.shape[1:], jnp.uint32
+            )
+            small = small.clone()
+            small.data = jnp.concatenate([small.data, pad])
+            ct1, ct2 = big, small
+        out = ct1.clone()
+        out.data = P.add(ct1.data, ct2.data, cd.qtab())
+        return out
+
+    def sub(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        return self.add(ct1, self.negate(ct2))
+
+    # ==================================================================
+    # plaintext translate (ref: evaluator_translate_plain.cu)
+    # ==================================================================
+    def _plain_to_level(self, plain: Plaintext, cd: ContextData, ntt: bool):
+        """Lift a plaintext to (L, n) RNS at cd's level (centered), optionally
+        NTT form."""
+        scheme = cd.parms.scheme
+        if scheme == SchemeType.CKKS:
+            data = plain.data
+            if ntt and not plain.is_ntt_form:
+                data = NTT.ntt_forward(data, cd.qtab())
+            if not ntt and plain.is_ntt_form:
+                data = NTT.ntt_inverse(data, cd.qtab())
+            return data
+        lifted = self._centralizer(cd).centralize(plain.data[0])
+        return NTT.ntt_forward(lifted, cd.qtab()) if ntt else lifted
+
+    def add_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        cd = self._cd(ct)
+        scheme = cd.parms.scheme
+        qtab = cd.qtab()
+        q = qtab["q"][:, None]
+        out = ct.clone()
+        if scheme == SchemeType.BFV:
+            delta_m = cd.scaler.scale_up(plain.data[0])
+            out.data = out.data.at[0].set(U.add_mod(ct.data[0], delta_m, q))
+        elif scheme == SchemeType.CKKS:
+            m = self._plain_to_level(plain, cd, ntt=True)
+            out.data = out.data.at[0].set(U.add_mod(ct.data[0], m, q))
+        elif scheme == SchemeType.BGV:
+            t = cd.parms.plain_modulus
+            pm = plain.data[0]
+            if ct.correction_factor != 1:
+                pm = U.mul_mod(pm, U.u32(ct.correction_factor % t.value),
+                               U.u32(t.value), U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
+            m = NTT.ntt_forward(self._centralizer(cd).centralize(pm), qtab)
+            out.data = out.data.at[0].set(U.add_mod(ct.data[0], m, q))
+        return out
+
+    def sub_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        neg = self.negate(ct)
+        return self.negate(self.add_plain(neg, plain))
+
+    def multiply_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        """NTT-domain broadcast product (ref: evaluator_multiply_plain.cu)."""
+        cd = self._cd(ct)
+        scheme = cd.parms.scheme
+        qtab = cd.qtab()
+        out = ct.clone()
+        if scheme == SchemeType.BFV:
+            m_ntt = self._plain_to_level(plain, cd, ntt=True)
+            ct_ntt = NTT.ntt_forward(ct.data, qtab)
+            prod = dyadic_broadcast_product(ct_ntt, m_ntt, qtab)
+            out.data = NTT.ntt_inverse(prod, qtab)
+        elif scheme == SchemeType.CKKS:
+            m_ntt = self._plain_to_level(plain, cd, ntt=True)
+            out.data = dyadic_broadcast_product(ct.data, m_ntt, qtab)
+            out.scale = ct.scale * plain.scale
+        elif scheme == SchemeType.BGV:
+            m_ntt = self._plain_to_level(plain, cd, ntt=True)
+            out.data = dyadic_broadcast_product(ct.data, m_ntt, qtab)
+        return out
+
+    # ==================================================================
+    # multiply (ref: evaluator.cu:29-366)
+    # ==================================================================
+    def multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        self._check_same(ct1, ct2, "multiply")
+        cd = self._cd(ct1)
+        scheme = cd.parms.scheme
+        if scheme == SchemeType.BFV:
+            return self._bfv_multiply(ct1, ct2, cd)
+        qtab = cd.qtab()
+        out = ct1.clone()
+        out.data = dyadic_convolute(ct1.data, ct2.data, qtab)
+        if scheme == SchemeType.CKKS:
+            out.scale = ct1.scale * ct2.scale
+        else:  # BGV (ref: evaluator.cu:146 correction-factor bookkeeping)
+            t = cd.parms.plain_modulus.value
+            out.correction_factor = ct1.correction_factor * ct2.correction_factor % t
+        return out
+
+    def square(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        if cd.parms.scheme == SchemeType.BFV:
+            return self._bfv_multiply(ct, ct, cd)
+        qtab = cd.qtab()
+        out = ct.clone()
+        out.data = dyadic_square(ct.data, qtab)
+        if cd.parms.scheme == SchemeType.CKKS:
+            out.scale = ct.scale * ct.scale
+        else:
+            t = cd.parms.plain_modulus.value
+            out.correction_factor = ct.correction_factor ** 2 % t
+        return out
+
+    def _bfv_multiply(self, ct1: Ciphertext, ct2: Ciphertext, cd: ContextData) -> Ciphertext:
+        """BEHZ 8-step multiply (ref: evaluator.cu:29-117)."""
+        if ct1.is_ntt_form or ct2.is_ntt_form:
+            raise ValueError("[Evaluator.multiply] BFV operands must be coeff form")
+        tool = cd.rns_tool
+        qtab = cd.qtab()
+        btab = tool.bsk_ntt.pack()
+        t = cd.parms.plain_modulus.value
+
+        def prep(ct):
+            x_q = NTT.ntt_forward(ct.data, qtab)                        # step 3 (q)
+            x_b = tool.fast_b_conv_m_tilde_sm_mrq(ct.data)              # steps 1-2
+            return x_q, NTT.ntt_forward(x_b, btab)                      # step 3 (Bsk)
+
+        a_q, a_b = prep(ct1)
+        if ct1 is ct2:
+            d_q, d_b = dyadic_square(a_q, qtab), dyadic_square(a_b, btab)
+        else:
+            b_q, b_b = prep(ct2)
+            d_q = dyadic_convolute(a_q, b_q, qtab)                      # step 4
+            d_b = dyadic_convolute(a_b, b_b, btab)
+        d_q = NTT.ntt_inverse(d_q, qtab)                                # step 5
+        d_b = NTT.ntt_inverse(d_b, btab)
+        d_q = P.multiply_scalar(d_q, t, qtab)                           # x t
+        d_b = P.multiply_scalar(d_b, t, btab)
+        res = tool.fast_floor_fast_b_conv_sk(d_q, d_b)                  # steps 6-8
+        out = ct1.clone()
+        out.data = res
+        out.seed = None
+        return out
+
+    # ==================================================================
+    # keyswitching (ref: evaluator_keyswitching_core.cu:757)
+    # ==================================================================
+    def _switch_tables(self, cd: ContextData):
+        """Cached per-level tables for the (level moduli + special prime)
+        output base and the special-prime division constants."""
+        cache = getattr(cd, "_switch_cache", None)
+        if cache is not None:
+            return cache
+        key_cd = self.context.key_context_data()
+        L = cd.coeff_modulus_size
+        L_key = key_cd.coeff_modulus_size
+        idx = list(range(L)) + [L_key - 1]
+        ktab = key_cd.qtab()
+        otab = {k: v[jnp.asarray(idx)] for k, v in ktab.items()}
+        q_sp = key_cd.parms.coeff_modulus[-1].value
+        q_values = [m.value for m in cd.parms.coeff_modulus]
+        inv = np.array([numth.invert_mod(q_sp % q, q) for q in q_values], np.uint32)
+        inv_sh = np.array(
+            [(int(i) << 32) // q for i, q in zip(inv.tolist(), q_values)], np.uint64
+        ).astype(np.uint32)
+        cache = dict(
+            idx=idx,
+            otab=otab,
+            sp_tab={k: v[L_key - 1 :] for k, v in ktab.items()},
+            q_sp=q_sp,
+            sp_half=U.u32(q_sp >> 1),
+            sp_half_mod_q=jnp.asarray(
+                np.array([(q_sp >> 1) % q for q in q_values], np.uint32)
+            )[:, None],
+            inv_sp_mod_q=jnp.asarray(inv)[:, None],
+            inv_sp_mod_q_shoup=jnp.asarray(inv_sh)[:, None],
+        )
+        cd._switch_cache = cache
+        return cache
+
+    def _switch_key(self, cd: ContextData, target_coeff: jnp.ndarray,
+                    keys: jnp.ndarray, out_ntt: bool) -> jnp.ndarray:
+        """Core keyswitch: target (L, n) coeff-domain poly, keys
+        (decomp_key, 2, L_key, n) NTT @ key level -> (2, L, n)
+        (ref: evaluator_keyswitching_core.cu, fgk/switch_key.cu)."""
+        sw = self._switch_tables(cd)
+        L = cd.coeff_modulus_size
+        otab = sw["otab"]
+        O = L + 1
+        # digits: D[i, j] = [target_i]_{p_j}  (lift each digit to all output primes)
+        x = jnp.broadcast_to(target_coeff[:, None, :], (L, O, target_coeff.shape[-1]))
+        D = P.modulo(x, otab)
+        D = NTT.ntt_forward(D, otab)
+        # inner product with keys over decomposition primes
+        keys_sel = keys[:L][:, :, jnp.asarray(sw["idx"]), :]  # (L, 2, O, n)
+        q = otab["q"][:, None]
+        acc = None
+        for i in range(L):
+            term = P.dyadic_product(D[i][None], keys_sel[i], otab)
+            acc = term if acc is None else U.add_mod(acc, term, q)
+        # divide by the special prime (NTT-domain divide_and_round)
+        sp_tab = sw["sp_tab"]
+        last = NTT.ntt_inverse(acc[:, L:, :], sp_tab)          # (2, 1, n)
+        last_plus = U.add_mod(last, sw["sp_half"], U.u32(sw["q_sp"]))
+        qtab = cd.qtab()
+        lq = qtab["q"][:, None]
+        lhi = qtab["ratio_hi"][:, None]
+        llo = qtab["ratio_lo"][:, None]
+        tmp = U.barrett_reduce_u32(
+            jnp.broadcast_to(last_plus, (2, L, last.shape[-1])), lq, lhi, llo
+        )
+        tmp = U.sub_mod(tmp, sw["sp_half_mod_q"], lq)
+        if out_ntt:
+            tmp = NTT.ntt_forward(tmp, qtab)
+            diff = U.sub_mod(acc[:, :L, :], tmp, lq)
+            return U.shoup_mul(diff, sw["inv_sp_mod_q"], sw["inv_sp_mod_q_shoup"], lq)
+        body = NTT.ntt_inverse(acc[:, :L, :], qtab)
+        diff = U.sub_mod(body, tmp, lq)
+        return U.shoup_mul(diff, sw["inv_sp_mod_q"], sw["inv_sp_mod_q_shoup"], lq)
+
+    def relinearize(self, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
+        """size-3 -> size-2 (ref: evaluator_keyswitching.cu:96)."""
+        if ct.size != 3:
+            raise ValueError("[Evaluator.relinearize] only size-3 supported")
+        cd = self._cd(ct)
+        target = ct.data[2]
+        if ct.is_ntt_form:
+            target = NTT.ntt_inverse(target, cd.qtab())
+        sw = self._switch_key(cd, target, rlk.key(2), out_ntt=ct.is_ntt_form)
+        out = ct.clone()
+        out.data = P.add(ct.data[:2], sw, cd.qtab())
+        return out
+
+    def apply_keyswitching(self, ct: Ciphertext, ksk: KSwitchKeys) -> Ciphertext:
+        """Re-encrypt a size-2 ct to the key holder's secret
+        (ref: evaluator_keyswitching.cu:11)."""
+        if ct.size != 2:
+            raise ValueError("[Evaluator.apply_keyswitching] needs size-2 ct")
+        cd = self._cd(ct)
+        target = ct.data[1]
+        if ct.is_ntt_form:
+            target = NTT.ntt_inverse(target, cd.qtab())
+        sw = self._switch_key(cd, target, ksk.get(0), out_ntt=ct.is_ntt_form)
+        out = ct.clone()
+        c0 = U.add_mod(sw[0], ct.data[0], cd.qtab()["q"][:, None])
+        out.data = jnp.stack([c0, sw[1]])
+        return out
+
+    # -- galois / rotations (ref: evaluator_keyswitching.cu:179-285) --------
+    def apply_galois(self, ct: Ciphertext, galois_elt: int,
+                     glk: GaloisKeys) -> Ciphertext:
+        if ct.size != 2:
+            raise ValueError("[Evaluator.apply_galois] needs size-2 ct")
+        cd = self._cd(ct)
+        tool = GaloisTool.for_context(cd)
+        qtab = cd.qtab()
+        if ct.is_ntt_form:
+            c0g = tool.apply_ntt(ct.data[0], galois_elt)
+            c1g = tool.apply_ntt(ct.data[1], galois_elt)
+            target = NTT.ntt_inverse(c1g, qtab)
+        else:
+            c0g = tool.apply_coeff(ct.data[0], galois_elt, qtab)
+            target = tool.apply_coeff(ct.data[1], galois_elt, qtab)
+        sw = self._switch_key(cd, target, glk.key(galois_elt), out_ntt=ct.is_ntt_form)
+        out = ct.clone()
+        c0 = U.add_mod(sw[0], c0g, qtab["q"][:, None])
+        out.data = jnp.stack([c0, sw[1]])
+        return out
+
+    def _rotate_internal(self, ct: Ciphertext, steps: int, glk: GaloisKeys) -> Ciphertext:
+        if steps == 0:
+            return ct.clone()
+        cd = self._cd(ct)
+        n = cd.parms.poly_modulus_degree
+        elt = GaloisTool.get_element_from_step(steps, n)
+        if glk.has(elt):
+            return self.apply_galois(ct, elt, glk)
+        # NAF-decompose the step (ref: evaluator_keyswitching.cu:276-292)
+        out = ct
+        for s in numth.naf(steps):
+            out = self._rotate_internal(out, s, glk)
+        return out
+
+    def rotate_rows(self, ct: Ciphertext, steps: int, glk: GaloisKeys) -> Ciphertext:
+        return self._rotate_internal(ct, steps, glk)
+
+    def rotate_columns(self, ct: Ciphertext, glk: GaloisKeys) -> Ciphertext:
+        cd = self._cd(ct)
+        n = cd.parms.poly_modulus_degree
+        return self.apply_galois(ct, GaloisTool.conjugate_element(n), glk)
+
+    def rotate_vector(self, ct: Ciphertext, steps: int, glk: GaloisKeys) -> Ciphertext:
+        """CKKS slot rotation."""
+        return self._rotate_internal(ct, steps, glk)
+
+    def complex_conjugate(self, ct: Ciphertext, glk: GaloisKeys) -> Ciphertext:
+        cd = self._cd(ct)
+        n = cd.parms.poly_modulus_degree
+        return self.apply_galois(ct, GaloisTool.conjugate_element(n), glk)
+
+    # ==================================================================
+    # modswitch / rescale (ref: evaluator_modswitch.cu)
+    # ==================================================================
+    def mod_switch_to_next(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        if cd.is_last():
+            raise ValueError("[Evaluator.mod_switch_to_next] already at last level")
+        nxt = cd.next
+        scheme = cd.parms.scheme
+        out = ct.clone()
+        if scheme == SchemeType.BFV:
+            out.data = cd.rns_tool.divide_and_round_q_last(ct.data)
+        elif scheme == SchemeType.CKKS:
+            # CKKS modswitch without rescale = drop the last limb
+            out.data = ct.data[:, :-1, :]
+        else:  # BGV
+            out.data = cd.rns_tool.mod_t_and_divide_q_last_ntt(ct.data, cd.qtab())
+            t = cd.parms.plain_modulus.value
+            q_last = cd.parms.coeff_modulus[-1].value
+            out.correction_factor = (
+                ct.correction_factor * numth.invert_mod(q_last % t, t) % t
+            )
+        out.parms_id = nxt.parms_id
+        return out
+
+    def rescale_to_next(self, ct: Ciphertext) -> Ciphertext:
+        """CKKS rescale (ref: evaluator_modswitch.cu:445)."""
+        cd = self._cd(ct)
+        if cd.parms.scheme != SchemeType.CKKS:
+            raise ValueError("[Evaluator.rescale_to_next] CKKS only")
+        if cd.is_last():
+            raise ValueError("[Evaluator.rescale_to_next] already at last level")
+        out = ct.clone()
+        out.data = cd.rns_tool.divide_and_round_q_last_ntt(ct.data, cd.qtab())
+        out.scale = ct.scale / cd.parms.coeff_modulus[-1].value
+        out.parms_id = cd.next.parms_id
+        return out
+
+    def mod_switch_to(self, ct: Ciphertext, parms_id: ParmsID) -> Ciphertext:
+        """Walk the chain (ref: evaluator_modswitch.cu:379)."""
+        target = self.context.get_context_data(parms_id)
+        cur = ct
+        while cur.parms_id != parms_id:
+            cd = self._cd(cur)
+            if cd.chain_index >= target.chain_index and cd.parms_id != parms_id:
+                if cd.is_last():
+                    raise ValueError("[Evaluator.mod_switch_to] cannot reach target")
+            cur = self.mod_switch_to_next(cur)
+        return cur
+
+    def mod_switch_plain_to_next(self, plain: Plaintext) -> Plaintext:
+        """CKKS NTT-form plaintext: drop last limb (ref: mod_switch_drop_to_plain)."""
+        cd = self._cd(plain)
+        out = plain.clone()
+        out.data = plain.data[:-1, :]
+        out.parms_id = cd.next.parms_id
+        return out
+
+    # ==================================================================
+    # NTT transforms (ref: evaluator_transform_ntt.cu)
+    # ==================================================================
+    def transform_to_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if ct.is_ntt_form:
+            raise ValueError("[Evaluator.transform_to_ntt] already NTT form")
+        cd = self._cd(ct)
+        out = ct.clone()
+        out.data = NTT.ntt_forward(ct.data, cd.qtab())
+        out.is_ntt_form = True
+        return out
+
+    def transform_from_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if not ct.is_ntt_form:
+            raise ValueError("[Evaluator.transform_from_ntt] not NTT form")
+        cd = self._cd(ct)
+        out = ct.clone()
+        out.data = NTT.ntt_inverse(ct.data, cd.qtab())
+        out.is_ntt_form = False
+        return out
+
+    def transform_plain_to_ntt(self, plain: Plaintext, parms_id: ParmsID) -> Plaintext:
+        """BFV/BGV mod-t plaintext -> RNS NTT form at a level
+        (ref: evaluator_transform_ntt.cu:35)."""
+        cd = self.context.get_context_data(parms_id)
+        lifted = self._centralizer(cd).centralize(plain.data[0])
+        return Plaintext(NTT.ntt_forward(lifted, cd.qtab()), parms_id=parms_id,
+                         is_ntt_form=True, scale=plain.scale)
+
+    # ==================================================================
+    # misc (ref: evaluator.h inline helpers)
+    # ==================================================================
+    def exponentiate(self, ct: Ciphertext, power: int, rlk: RelinKeys) -> Ciphertext:
+        if power < 1:
+            raise ValueError("[Evaluator.exponentiate] power must be >= 1")
+        result = None
+        base = ct
+        while power:
+            if power & 1:
+                result = base if result is None else self.relinearize(
+                    self.multiply(result, base), rlk
+                )
+            power >>= 1
+            if power:
+                base = self.relinearize(self.square(base), rlk)
+        return result
+
+    def negacyclic_shift(self, ct: Ciphertext, shift: int) -> Ciphertext:
+        cd = self._cd(ct)
+        if ct.is_ntt_form:
+            tmp = self.transform_from_ntt(ct)
+            out = self.negacyclic_shift(tmp, shift)
+            return self.transform_to_ntt(out)
+        out = ct.clone()
+        out.data = P.negacyclic_shift(ct.data, shift, cd.qtab())
+        return out
+
+    # -- reference-style aliases -------------------------------------------
+    add_new = add
+    sub_new = sub
+    multiply_new = multiply
+    square_new = square
+    negate_new = negate
+    relinearize_new = relinearize
+    add_plain_new = add_plain
+    sub_plain_new = sub_plain
+    multiply_plain_new = multiply_plain
+    mod_switch_to_next_new = mod_switch_to_next
+    rescale_to_next_new = rescale_to_next

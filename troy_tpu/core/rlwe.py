@@ -1,0 +1,88 @@
+"""RLWE symmetric/asymmetric encryption cores.
+
+TPU-native rebuild of reference src/utils/rlwe.{h,cu}:
+  symmetric : c = (-(a*s + e) [+ m], a), a from PRNG (optionally seed-only)
+  asymmetric: c = (pk0*u + e0 [+ m], pk1*u + e1), u ternary, e CBD
+
+Scheme conventions (ref: ciphertext.h notes): BFV ciphertexts live in the
+coefficient domain, CKKS/BGV in the NTT domain; BGV noise is scaled by t.
+All functions return raw (2, L, n) arrays at the given context level; the
+Encryptor wraps them into Ciphertext objects.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .params import SchemeType
+from .context import ContextData
+from ..ops import ntt as NTT, poly as P, u32 as U
+from ..utils.random import RandomGenerator, uniform_from_seed
+
+
+def _noise(cd: ContextData, prng: RandomGenerator, qtab, shape_n):
+    """CBD noise lifted to limbs, coeff domain; BGV scales by t
+    (ref: rlwe.cu noise sampling)."""
+    e = prng.sample_cbd(shape_n, qtab)
+    if cd.parms.scheme == SchemeType.BGV:
+        e = P.multiply_scalar(e, cd.parms.plain_modulus.value, qtab)
+    return e
+
+
+def encrypt_zero_symmetric(
+    cd: ContextData,
+    sk_data: jnp.ndarray,
+    prng: RandomGenerator,
+    ntt_form: bool,
+    seed: int | None = None,
+) -> jnp.ndarray:
+    """(2, L, n) encryption of zero under s (ref: rlwe.h:7 symmetric).
+
+    If `seed` is given, c1 is regenerated deterministically from it
+    (compressed-ciphertext contract, ciphertext.h:255).
+    """
+    qtab = cd.qtab()
+    L = cd.coeff_modulus_size
+    n = cd.parms.poly_modulus_degree
+    s = sk_data[:L]
+    if seed is not None:
+        a_ntt = uniform_from_seed(seed, (L, n), qtab)
+    else:
+        a_ntt = prng.sample_uniform((L, n), qtab)
+    e = _noise(cd, prng, qtab, (n,))
+    as_ntt = P.dyadic_product(a_ntt, s, qtab)
+    if ntt_form:
+        c0 = P.negate(U.add_mod(as_ntt, NTT.ntt_forward(e, qtab), qtab["q"][:, None]), qtab)
+        c1 = a_ntt
+    else:
+        c0 = P.negate(U.add_mod(NTT.ntt_inverse(as_ntt, qtab), e, qtab["q"][:, None]), qtab)
+        c1 = NTT.ntt_inverse(a_ntt, qtab)
+    return jnp.stack([c0, c1])
+
+
+def encrypt_zero_asymmetric(
+    cd: ContextData,
+    pk_data: jnp.ndarray,
+    prng: RandomGenerator,
+    ntt_form: bool,
+) -> jnp.ndarray:
+    """(2, L, n) encryption of zero under pk (ref: rlwe.h:45 asymmetric).
+    pk_data: (2, L_key, n) NTT form — sliced to this level's limbs."""
+    qtab = cd.qtab()
+    L = cd.coeff_modulus_size
+    n = cd.parms.poly_modulus_degree
+    pk = pk_data[:, :L]
+    u = prng.sample_ternary((n,), qtab)
+    u_ntt = NTT.ntt_forward(u, qtab)
+    e0 = _noise(cd, prng, qtab, (n,))
+    e1 = _noise(cd, prng, qtab, (n,))
+    c0_ntt = P.dyadic_product(pk[0], u_ntt, qtab)
+    c1_ntt = P.dyadic_product(pk[1], u_ntt, qtab)
+    q = qtab["q"][:, None]
+    if ntt_form:
+        c0 = U.add_mod(c0_ntt, NTT.ntt_forward(e0, qtab), q)
+        c1 = U.add_mod(c1_ntt, NTT.ntt_forward(e1, qtab), q)
+    else:
+        c0 = U.add_mod(NTT.ntt_inverse(c0_ntt, qtab), e0, q)
+        c1 = U.add_mod(NTT.ntt_inverse(c1_ntt, qtab), e1, q)
+    return jnp.stack([c0, c1])

@@ -43,6 +43,42 @@ class NTTTables:
       q, ratio_hi, ratio_lo        (L,)    modulus + Barrett ratio words
     """
 
+    _row_cache: dict = {}  # (log_n, q) -> per-modulus row dict (class-level)
+
+    @classmethod
+    def _rows(cls, log_n: int, mod: Modulus) -> dict:
+        key = (log_n, mod.value)
+        if key in cls._row_cache:
+            return cls._row_cache[key]
+        n = 1 << log_n
+        q = mod.value
+        psi = numth.try_minimal_primitive_root(2 * n, q)
+        if psi is None:
+            raise ValueError(
+                f"[NTTTables] modulus {q} does not support NTT of degree {n}"
+            )
+        ipsi = numth.invert_mod(psi, q)
+        brv = [numth.reverse_bits(i, log_n) for i in range(n)]
+        fwd = np.zeros(n, dtype=np.uint64)
+        inv = np.zeros(n, dtype=np.uint64)
+        p, ip = 1, 1
+        for i in range(n):
+            fwd[brv[i]] = p
+            inv[brv[i]] = ip
+            p = p * psi % q
+            ip = ip * ipsi % q
+        ninv = numth.invert_mod(n, q)
+        rows = dict(
+            psi_br=fwd.astype(np.uint32),
+            psi_br_shoup=((fwd.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32),
+            inv_psi_br=inv.astype(np.uint32),
+            inv_psi_br_shoup=((inv.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32),
+            n_inv=np.uint32(ninv),
+            n_inv_shoup=np.uint32((ninv << 32) // q),
+        )
+        cls._row_cache[key] = rows
+        return rows
+
     def __init__(self, log_n: int, moduli: list[Modulus]):
         self.log_n = log_n
         self.n = n = 1 << log_n
@@ -56,30 +92,14 @@ class NTTTables:
         n_inv = np.zeros((L,), dtype=np.uint32)
         n_inv_sh = np.zeros((L,), dtype=np.uint32)
 
-        brv = [numth.reverse_bits(i, log_n) for i in range(n)]
         for k, mod in enumerate(moduli):
-            q = mod.value
-            psi = numth.try_minimal_primitive_root(2 * n, q)
-            if psi is None:
-                raise ValueError(
-                    f"[NTTTables] modulus {q} does not support NTT of degree {n}"
-                )
-            ipsi = numth.invert_mod(psi, q)
-            fwd = np.zeros(n, dtype=np.uint64)
-            inv = np.zeros(n, dtype=np.uint64)
-            p, ip = 1, 1
-            for i in range(n):
-                fwd[brv[i]] = p
-                inv[brv[i]] = ip
-                p = p * psi % q
-                ip = ip * ipsi % q
-            psi_br[k] = fwd.astype(np.uint32)
-            ipsi_br[k] = inv.astype(np.uint32)
-            psi_br_sh[k] = ((fwd.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32)
-            ipsi_br_sh[k] = ((inv.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32)
-            ninv = numth.invert_mod(n, q)
-            n_inv[k] = ninv
-            n_inv_sh[k] = (ninv << 32) // q
+            rows = self._rows(log_n, mod)
+            psi_br[k] = rows["psi_br"]
+            ipsi_br[k] = rows["inv_psi_br"]
+            psi_br_sh[k] = rows["psi_br_shoup"]
+            ipsi_br_sh[k] = rows["inv_psi_br_shoup"]
+            n_inv[k] = rows["n_inv"]
+            n_inv_sh[k] = rows["n_inv_shoup"]
 
         self._host = dict(
             psi_br=psi_br, psi_br_shoup=psi_br_sh,

@@ -160,12 +160,19 @@ def try_primitive_root(degree: int, modulus: int) -> int | None:
     return None
 
 
+_min_root_cache: dict[tuple[int, int], int | None] = {}
+
+
 def try_minimal_primitive_root(degree: int, modulus: int) -> int | None:
     """Minimal primitive degree-th root of unity (ref: number_theory.cu
     try_minimal_primitive_root) — matches SEAL's choice so twiddle tables are
     reproducible across implementations."""
+    key = (degree, modulus)
+    if key in _min_root_cache:
+        return _min_root_cache[key]
     root = try_primitive_root(degree, modulus)
     if root is None:
+        _min_root_cache[key] = None
         return None
     generator_sq = root * root % modulus
     current = root
@@ -175,6 +182,7 @@ def try_minimal_primitive_root(degree: int, modulus: int) -> int | None:
         current = current * generator_sq % modulus
         if current < best:
             best = current
+    _min_root_cache[key] = best
     return best
 
 
