@@ -1,0 +1,115 @@
+"""CKKS encoder: canonical embedding encode/decode.
+
+TPU-native rebuild of reference src/ckks_encoder.{h,cu} (1579 LoC of device
+complex-double FFT).  Encode/decode are *client-side* operations, so this
+build keeps them on the host in numpy complex128 (TPUs have no f64 hardware;
+the reference's device FFT is a CUDA-ism), while everything homomorphic stays
+in u32 RNS on device.
+
+Math: slot k (k < n/2) is the evaluation at zeta^{e_k}, e_k = 3^k mod 2n
+(zeta = exp(i*pi/n), primitive 2n-th root), with the conjugate value at -e_k.
+Evaluations at all odd powers relate to coefficients by a twisted size-n FFT:
+  p(zeta^(2j+1)) = sum_i (c_i * zeta^i) * omega^(i*j),  omega = exp(2i*pi/n)
+so encode = scatter slots -> odd-power evaluations -> fft/n -> untwist ->
+round(scale * c) -> centered RNS decompose -> NTT.  The 3^k slot ordering
+matches rotate_vector/conjugate semantics (ops/galois.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .context import HeContext, ContextData
+from .params import ParmsID, SchemeType
+from .plaintext import Plaintext
+from ..ops import ntt as NTT
+
+
+class CKKSEncoder:
+    def __init__(self, context: HeContext):
+        self.context = context
+        cd = context.first_context_data()
+        n = cd.parms.poly_modulus_degree
+        self.n = n
+        self.slots = n // 2
+        # slot k <-> odd-power index j = (e_k - 1) / 2 and its conjugate
+        m = 2 * n
+        e = 1
+        idx = np.empty(self.slots, dtype=np.int64)
+        idx_conj = np.empty(self.slots, dtype=np.int64)
+        for k in range(self.slots):
+            idx[k] = (e - 1) // 2
+            idx_conj[k] = (m - e - 1) // 2
+            e = e * 3 % m
+        self._idx, self._idx_conj = idx, idx_conj
+        i = np.arange(n)
+        self._twist = np.exp(1j * np.pi * i / n)        # zeta^i
+        self._untwist = np.conj(self._twist)
+
+    @property
+    def slot_count(self) -> int:
+        return self.slots
+
+    # ------------------------------------------------------------------
+    def _coeffs_to_rns(self, coeffs: np.ndarray, cd: ContextData) -> np.ndarray:
+        """Centered integer coefficients (object array) -> (L, n) residues."""
+        out = np.empty((cd.base_q.size, self.n), dtype=np.uint32)
+        for i, q in enumerate(cd.base_q.values):
+            out[i] = np.array([int(c) % q for c in coeffs], dtype=np.uint32)
+        return out
+
+    def encode(self, values, parms_id: ParmsID | None = None,
+               scale: float = 2.0 ** 40) -> Plaintext:
+        """SIMD-encode complex values (ref: ckks_encoder.h:84 encode_complex64_simd)."""
+        cd = self.context.get_context_data(parms_id or self.context.first_parms_id)
+        v = np.zeros(self.slots, dtype=np.complex128)
+        arr = np.asarray(values, dtype=np.complex128)
+        v[: len(arr)] = arr
+        ev = np.zeros(self.n, dtype=np.complex128)
+        ev[self._idx] = v
+        ev[self._idx_conj] = np.conj(v)
+        coeffs = (np.fft.fft(ev) / self.n) * self._untwist
+        scaled = coeffs.real * scale
+        limit = cd.total_coeff_modulus / 2
+        if np.max(np.abs(scaled)) >= limit:
+            raise ValueError("[CKKSEncoder.encode] scaled values exceed q/2")
+        ints = [int(round(x)) for x in scaled]
+        rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
+        data = NTT.ntt_forward(jnp.asarray(rns), cd.qtab())
+        return Plaintext(data, parms_id=cd.parms_id, scale=scale, is_ntt_form=True)
+
+    def encode_float64_polynomial(self, coeffs, parms_id: ParmsID | None = None,
+                                  scale: float = 2.0 ** 40) -> Plaintext:
+        """Encode raw real coefficients (no embedding)
+        (ref: ckks_encoder.h encode_float64_polynomial)."""
+        cd = self.context.get_context_data(parms_id or self.context.first_parms_id)
+        c = np.zeros(self.n)
+        arr = np.asarray(coeffs, dtype=np.float64)
+        c[: len(arr)] = arr
+        ints = [int(round(x * scale)) for x in c]
+        rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
+        data = NTT.ntt_forward(jnp.asarray(rns), cd.qtab())
+        return Plaintext(data, parms_id=cd.parms_id, scale=scale, is_ntt_form=True)
+
+    def encode_float64_single(self, value: float, parms_id: ParmsID | None = None,
+                              scale: float = 2.0 ** 40) -> Plaintext:
+        """A constant: value in every slot = constant coefficient c_0."""
+        return self.encode_float64_polynomial([value], parms_id, scale)
+
+    # ------------------------------------------------------------------
+    def decode(self, plain: Plaintext) -> np.ndarray:
+        """(ref: ckks_encoder.cu:1092 decode)"""
+        cd = self.context.get_context_data(plain.parms_id)
+        data = plain.data
+        if plain.is_ntt_form:
+            data = NTT.ntt_inverse(data, cd.qtab())
+        arr = np.asarray(data)
+        Q = cd.base_q.prod
+        composed = cd.base_q.compose_array_host(arr)
+        centered = np.array(
+            [float(v - Q) if v > Q // 2 else float(v) for v in composed]
+        )
+        coeffs = centered / plain.scale
+        ev = np.fft.ifft(coeffs * self._twist) * self.n
+        return ev[self._idx]

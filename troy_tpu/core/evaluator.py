@@ -261,7 +261,20 @@ class Evaluator:
             )[:, None],
             inv_sp_mod_q=jnp.asarray(inv)[:, None],
             inv_sp_mod_q_shoup=jnp.asarray(inv_sh)[:, None],
+            sp_mod_q=jnp.asarray(
+                np.array([q_sp % q for q in q_values], np.uint32)
+            )[:, None],
         )
+        if cd.parms.scheme == SchemeType.BGV:
+            # BGV keyswitch divides by q_sp while preserving the mod-t payload
+            # (ref: evaluator_keyswitching_core.cu ski_util7 t-correction)
+            t = cd.parms.plain_modulus.value
+            from .modulus import Modulus as _M
+
+            spm = _M(q_sp)
+            cache["inv_t_mod_sp"] = U.u32(numth.invert_mod(t % q_sp, q_sp))
+            cache["sp_ratio_hi"] = U.u32(spm.ratio64_hi)
+            cache["sp_ratio_lo"] = U.u32(spm.ratio64_lo)
         cd._switch_cache = cache
         return cache
 
@@ -288,15 +301,26 @@ class Evaluator:
         # divide by the special prime (NTT-domain divide_and_round)
         sp_tab = sw["sp_tab"]
         last = NTT.ntt_inverse(acc[:, L:, :], sp_tab)          # (2, 1, n)
-        last_plus = U.add_mod(last, sw["sp_half"], U.u32(sw["q_sp"]))
         qtab = cd.qtab()
         lq = qtab["q"][:, None]
         lhi = qtab["ratio_hi"][:, None]
         llo = qtab["ratio_lo"][:, None]
-        tmp = U.barrett_reduce_u32(
-            jnp.broadcast_to(last_plus, (2, L, last.shape[-1])), lq, lhi, llo
-        )
-        tmp = U.sub_mod(tmp, sw["sp_half_mod_q"], lq)
+        if cd.parms.scheme == SchemeType.BGV:
+            # delta ≡ last (mod q_sp), ≡ 0 (mod t): delta = t * centered([last * t^-1]_{q_sp})
+            t_val = cd.parms.plain_modulus.value
+            h = U.mul_mod(last, sw["inv_t_mod_sp"], U.u32(sw["q_sp"]),
+                          sw["sp_ratio_hi"], sw["sp_ratio_lo"])
+            h_b = jnp.broadcast_to(h, (2, L, last.shape[-1]))
+            h_mod = U.barrett_reduce_u32(h_b, lq, lhi, llo)
+            h_c = jnp.where(h_b > U.U32(sw["q_sp"] >> 1),
+                            U.sub_mod(h_mod, sw["sp_mod_q"], lq), h_mod)
+            tmp = U.mul_mod(h_c, U.u32(t_val), lq, lhi, llo)
+        else:
+            last_plus = U.add_mod(last, sw["sp_half"], U.u32(sw["q_sp"]))
+            tmp = U.barrett_reduce_u32(
+                jnp.broadcast_to(last_plus, (2, L, last.shape[-1])), lq, lhi, llo
+            )
+            tmp = U.sub_mod(tmp, sw["sp_half_mod_q"], lq)
         if out_ntt:
             tmp = NTT.ntt_forward(tmp, qtab)
             diff = U.sub_mod(acc[:, :L, :], tmp, lq)
