@@ -35,6 +35,9 @@ from ..rns.scaling import BFVScaler
 from ..utils import numth
 
 
+import jax
+
+
 class Evaluator:
     def __init__(self, context: HeContext):
         self.context = context
@@ -44,6 +47,20 @@ class Evaluator:
     # ==================================================================
     def _cd(self, ct: Ciphertext | Plaintext) -> ContextData:
         return self.context.get_context_data(ct.parms_id)
+
+    @staticmethod
+    def _jit(cd: ContextData, name: str, builder):
+        """Per-level compiled-kernel cache: `builder()` returns a pure
+        function of arrays (tables are closure constants); it is jitted once
+        per (level, op) and re-specialized per argument shape — the XLA
+        analog of the reference's per-level precomputed device programs."""
+        cache = getattr(cd, "_jit_ops", None)
+        if cache is None:
+            cache = {}
+            cd._jit_ops = cache
+        if name not in cache:
+            cache[name] = jax.jit(builder())
+        return cache[name]
 
     @staticmethod
     def _check_same(ct1: Ciphertext, ct2: Ciphertext, op: str):
@@ -202,28 +219,41 @@ class Evaluator:
         """BEHZ 8-step multiply (ref: evaluator.cu:29-117)."""
         if ct1.is_ntt_form or ct2.is_ntt_form:
             raise ValueError("[Evaluator.multiply] BFV operands must be coeff form")
-        tool = cd.rns_tool
-        qtab = cd.qtab()
-        btab = tool.bsk_ntt.pack()
-        t = cd.parms.plain_modulus.value
+        square = ct1 is ct2
 
-        def prep(ct):
-            x_q = NTT.ntt_forward(ct.data, qtab)                        # step 3 (q)
-            x_b = tool.fast_b_conv_m_tilde_sm_mrq(ct.data)              # steps 1-2
-            return x_q, NTT.ntt_forward(x_b, btab)                      # step 3 (Bsk)
+        def builder():
+            tool = cd.rns_tool
+            qtab = cd.qtab()
+            btab = tool.bsk_ntt.pack()
+            t = cd.parms.plain_modulus.value
 
-        a_q, a_b = prep(ct1)
-        if ct1 is ct2:
-            d_q, d_b = dyadic_square(a_q, qtab), dyadic_square(a_b, btab)
-        else:
-            b_q, b_b = prep(ct2)
-            d_q = dyadic_convolute(a_q, b_q, qtab)                      # step 4
-            d_b = dyadic_convolute(a_b, b_b, btab)
-        d_q = NTT.ntt_inverse(d_q, qtab)                                # step 5
-        d_b = NTT.ntt_inverse(d_b, btab)
-        d_q = P.multiply_scalar(d_q, t, qtab)                           # x t
-        d_b = P.multiply_scalar(d_b, t, btab)
-        res = tool.fast_floor_fast_b_conv_sk(d_q, d_b)                  # steps 6-8
+            def prep(x):
+                x_q = NTT.ntt_forward(x, qtab)                      # step 3 (q)
+                x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)            # steps 1-2
+                return x_q, NTT.ntt_forward(x_b, btab)              # step 3 (Bsk)
+
+            def mul(x1, x2):
+                a_q, a_b = prep(x1)
+                b_q, b_b = prep(x2)
+                d_q = dyadic_convolute(a_q, b_q, qtab)              # step 4
+                d_b = dyadic_convolute(a_b, b_b, btab)
+                return finish(d_q, d_b)
+
+            def sq(x1):
+                a_q, a_b = prep(x1)
+                return finish(dyadic_square(a_q, qtab), dyadic_square(a_b, btab))
+
+            def finish(d_q, d_b):
+                d_q = NTT.ntt_inverse(d_q, qtab)                    # step 5
+                d_b = NTT.ntt_inverse(d_b, btab)
+                d_q = P.multiply_scalar(d_q, t, qtab)               # x t
+                d_b = P.multiply_scalar(d_b, t, btab)
+                return tool.fast_floor_fast_b_conv_sk(d_q, d_b)     # steps 6-8
+
+            return sq if square else mul
+
+        fn = self._jit(cd, "bfv_square" if square else "bfv_multiply", builder)
+        res = fn(ct1.data) if square else fn(ct1.data, ct2.data)
         out = ct1.clone()
         out.data = res
         out.seed = None
@@ -280,6 +310,14 @@ class Evaluator:
 
     def _switch_key(self, cd: ContextData, target_coeff: jnp.ndarray,
                     keys: jnp.ndarray, out_ntt: bool) -> jnp.ndarray:
+        fn = self._jit(
+            cd, f"switch_key_ntt{int(out_ntt)}",
+            lambda: (lambda tgt, k: self._switch_key_impl(cd, tgt, k, out_ntt)),
+        )
+        return fn(target_coeff, keys)
+
+    def _switch_key_impl(self, cd: ContextData, target_coeff: jnp.ndarray,
+                         keys: jnp.ndarray, out_ntt: bool) -> jnp.ndarray:
         """Core keyswitch: target (L, n) coeff-domain poly, keys
         (decomp_key, 2, L_key, n) NTT @ key level -> (2, L, n)
         (ref: evaluator_keyswitching_core.cu, fgk/switch_key.cu)."""
