@@ -1,0 +1,82 @@
+"""LWE extraction / packing tests (mirrors reference test/lwe.cu,
+examples/12_lwes.cu)."""
+
+import numpy as np
+
+from .fixtures import GeneralHeContext
+
+RNG = np.random.default_rng(99)
+
+
+def make(n=32):
+    return GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30))
+
+
+def poly_encrypt(h, coeffs):
+    pt = h.encoder.encode_polynomial(coeffs)
+    return h.encryptor.encrypt_asymmetric(pt)
+
+
+def test_extract_assemble_roundtrip():
+    h = make()
+    coeffs = RNG.integers(0, h.t, size=h.n, dtype=np.uint64)
+    ct = poly_encrypt(h, coeffs)
+    for term in (0, 1, 7, h.n - 1):
+        lwe = h.evaluator.extract_lwe(ct, term)
+        back = h.evaluator.assemble_lwe(lwe)
+        dec = h.encoder.decode_polynomial(h.decryptor.decrypt(back))
+        assert dec[0] == coeffs[term], term
+
+
+def test_field_trace_keeps_coeff0():
+    h = make()
+    coeffs = RNG.integers(0, h.t, size=h.n, dtype=np.uint64)
+    ct = poly_encrypt(h, coeffs)
+    glk = h.keygen.create_automorphism_keys()
+    # divide first: only coeff 0 survives the trace, where x n undoes it
+    traced = h.evaluator.field_trace(
+        h.evaluator.divide_by_poly_modulus_degree(ct), glk, logn_stop=0)
+    dec = h.encoder.decode_polynomial(h.decryptor.decrypt(traced))
+    assert dec[0] == coeffs[0]
+    assert (dec[1:] == 0).all()
+
+
+def test_pack_lwe_full():
+    h = make()
+    glk = h.keygen.create_automorphism_keys()
+    coeffs = RNG.integers(0, h.t, size=h.n, dtype=np.uint64)
+    ct = poly_encrypt(h, coeffs)
+    n = h.n
+    m = 8  # pack 8 LWEs -> payloads at stride n/8
+    lwes = [h.evaluator.extract_lwe(ct, i) for i in range(m)]
+    packed = h.evaluator.pack_lwe_ciphertexts(lwes, glk)
+    dec = h.encoder.decode_polynomial(h.decryptor.decrypt(packed))
+    stride = n // m
+    for i in range(m):
+        assert dec[i * stride] == coeffs[i], i
+
+
+def test_pack_lwe_non_power_of_two():
+    h = make()
+    glk = h.keygen.create_automorphism_keys()
+    coeffs = RNG.integers(0, h.t, size=h.n, dtype=np.uint64)
+    ct = poly_encrypt(h, coeffs)
+    m = 5  # pads to 8
+    lwes = [h.evaluator.extract_lwe(ct, 2 * i) for i in range(m)]
+    packed = h.evaluator.pack_lwe_ciphertexts(lwes, glk)
+    dec = h.encoder.decode_polynomial(h.decryptor.decrypt(packed))
+    stride = h.n // 8
+    for i in range(m):
+        assert dec[i * stride] == coeffs[2 * i], i
+
+
+def test_pack_single_lwe():
+    h = make()
+    glk = h.keygen.create_automorphism_keys()
+    coeffs = RNG.integers(0, h.t, size=h.n, dtype=np.uint64)
+    ct = poly_encrypt(h, coeffs)
+    lwe = h.evaluator.extract_lwe(ct, 3)
+    packed = h.evaluator.pack_lwe_ciphertexts([lwe], glk)
+    dec = h.encoder.decode_polynomial(h.decryptor.decrypt(packed))
+    assert dec[0] == coeffs[3]
+    assert (dec[1:] == 0).all()

@@ -37,8 +37,10 @@ from ..utils import numth
 
 import jax
 
+from .lwe_ops import LweOpsMixin
 
-class Evaluator:
+
+class Evaluator(LweOpsMixin):
     def __init__(self, context: HeContext):
         self.context = context
 

@@ -147,6 +147,14 @@ class KeyGenerator:
             elems.append(2 * n - 1)
         return self.create_galois_keys_from_elements(sorted(set(elems)))
 
+    def create_automorphism_keys(self) -> GaloisKeys:
+        """Keys for the PackLWEs trace: elements 2^j + 1, 1 <= j <= log2 n
+        (ref: key_generator.h create_galois_keys for pack_lwe)."""
+        cd = self.context.key_context_data()
+        n = cd.parms.poly_modulus_degree
+        elems = [(1 << j) + 1 for j in range(1, n.bit_length())]
+        return self.create_galois_keys_from_elements(elems)
+
     def create_keyswitching_key(self, new_key: SecretKey) -> KSwitchKeys:
         """Key to switch ciphertexts under self's key to `new_key`: generated
         by the *new* key's holder over the old secret (ref:
