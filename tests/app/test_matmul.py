@@ -1,0 +1,83 @@
+"""MatmulHelper tests (mirrors reference test/app/matmul.cu; full pipeline
+vs plain numpy matmul)."""
+
+import numpy as np
+
+import sys
+sys.path.insert(0, "tests")
+from tests.core.fixtures import GeneralHeContext
+
+from troy_tpu.app.matmul import MatmulHelper, MatmulObjective
+from troy_tpu.app.encoder_adapter import BatchEncoderAdapter, CKKSEncoderAdapter
+
+RNG = np.random.default_rng(2024)
+
+
+def run_bfv_matmul(pack_lwe, batch=4, in_d=5, out_d=6, n=64):
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptLeft, pack_lwe=pack_lwe)
+    x = RNG.integers(0, h.t, size=(batch, in_d), dtype=np.uint64)
+    w = RNG.integers(0, h.t, size=(in_d, out_d), dtype=np.uint64)
+    bias = RNG.integers(0, h.t, size=(batch, out_d), dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    w_enc = helper.encode_weights(adapter, w)
+    y = helper.matmul(h.evaluator, x_enc, w_enc)
+    if pack_lwe:
+        auto_keys = h.keygen.create_automorphism_keys()
+        y = helper.pack_outputs(h.evaluator, auto_keys, y)
+    y = y.add_plain(helper.encode_outputs(adapter, bias), h.evaluator)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    want = (x.astype(object) @ w.astype(object) + bias) % h.t
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)
+
+
+def test_bfv_matmul_no_pack():
+    run_bfv_matmul(False)
+
+
+def test_bfv_matmul_pack_lwe():
+    run_bfv_matmul(True)
+
+
+def test_bfv_matmul_bigger():
+    run_bfv_matmul(False, batch=3, in_d=17, out_d=9)
+
+
+def test_ckks_matmul():
+    n = 64
+    scale = 2.0 ** 20
+    h = GeneralHeContext("CKKS", n, q_bits=(30, 30, 30, 30), scale=scale)
+    adapter = CKKSEncoderAdapter(h.encoder, scale)
+    batch, in_d, out_d = 2, 5, 4
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptLeft, pack_lwe=False)
+    x = RNG.uniform(-1, 1, (batch, in_d))
+    w = RNG.uniform(-1, 1, (in_d, out_d))
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    w_enc = helper.encode_weights(adapter, w)
+    y = helper.matmul(h.evaluator, x_enc, w_enc)
+    # product scale is scale^2
+    class A2(CKKSEncoderAdapter):
+        pass
+    dec_adapter = CKKSEncoderAdapter(h.encoder, scale * scale)
+    dec = helper.decrypt_outputs(dec_adapter, h.decryptor, y)
+    np.testing.assert_allclose(dec, x @ w, atol=1e-2)
+
+
+def test_bfv_matmul_encrypt_right():
+    n = 64
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    batch, in_d, out_d = 2, 4, 3
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptRight, pack_lwe=False)
+    x = RNG.integers(0, h.t, size=(batch, in_d), dtype=np.uint64)
+    w = RNG.integers(0, h.t, size=(in_d, out_d), dtype=np.uint64)
+    x_plain = helper.encode_inputs(adapter, x, for_cipher=False)
+    w_enc = helper.encrypt_weights(h.encryptor, adapter, w)
+    y = helper.matmul_reverse(h.evaluator, x_plain, w_enc)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    want = (x.astype(object) @ w.astype(object)) % h.t
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)

@@ -97,6 +97,20 @@ class CKKSEncoder:
         """A constant: value in every slot = constant coefficient c_0."""
         return self.encode_float64_polynomial([value], parms_id, scale)
 
+    def decode_float64_polynomial(self, plain: Plaintext) -> np.ndarray:
+        """Raw coefficient decode (inverse of encode_float64_polynomial)."""
+        cd = self.context.get_context_data(plain.parms_id)
+        data = plain.data
+        if plain.is_ntt_form:
+            data = NTT.ntt_inverse(data, cd.qtab())
+        arr = np.asarray(data)
+        Q = cd.base_q.prod
+        composed = cd.base_q.compose_array_host(arr)
+        centered = np.array(
+            [float(v - Q) if v > Q // 2 else float(v) for v in composed]
+        )
+        return centered / plain.scale
+
     # ------------------------------------------------------------------
     def decode(self, plain: Plaintext) -> np.ndarray:
         """(ref: ckks_encoder.cu:1092 decode)"""

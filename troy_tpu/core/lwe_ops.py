@@ -85,14 +85,15 @@ class LweOpsMixin:
             out = self.add(out, self.apply_galois(out, g, glk))
         return out
 
-    def divide_by_poly_modulus_degree(self, ct: Ciphertext, power: int | None = None) -> Ciphertext:
-        """Multiply by n^-1 (or 2^-power) mod q (ref: evaluator_lwes.cu:132)."""
+    def divide_by_poly_modulus_degree(self, ct: Ciphertext, factor: int | None = None) -> Ciphertext:
+        """Multiply by factor^-1 mod q, factor defaulting to n
+        (ref: evaluator_lwes.cu:132, `mul` semantics inverted to a divisor)."""
         cd = self._cd(ct)
         from ..utils import numth
 
         import numpy as np
 
-        k = cd.parms.poly_modulus_degree if power is None else (1 << power)
+        k = cd.parms.poly_modulus_degree if factor is None else factor
         out = ct.clone()
         factors = [numth.invert_mod(k, q) for q in cd.base_q.values]
         w = jnp.asarray(np.array(factors, dtype=np.uint32))
@@ -116,18 +117,66 @@ class LweOpsMixin:
         ell = max(1, (m - 1).bit_length()) if m > 1 else 0
         if (1 << ell) > n:
             raise ValueError("[Evaluator.pack_lwe_ciphertexts] too many LWEs")
+        # Assemble then delegate to the generic RLWE packer with
+        # input_interval = n (divide-by-n happens inside, BEFORE merging:
+        # only coefficient 0 of each input survives the merge+trace linear
+        # map, where the total x n factor exactly undoes the division, so the
+        # surviving noise is the original extraction noise).
+        cts: list[Ciphertext | None] = [self.assemble_lwe(lwe) for lwe in lwes]
+        out_interval = n >> ell
+        if out_interval == 1:
+            # full packing still needs no trace; handled by merge alone
+            return self.pack_rlwe_ciphertexts(cts, glk, 0, n, 1)
+        return self.pack_rlwe_ciphertexts(cts, glk, 0, n, out_interval)
+
+    # ------------------------------------------------------------------
+    def pack_rlwe_ciphertexts(
+        self,
+        ciphers: list[Ciphertext | None],
+        glk: GaloisKeys,
+        shift: int,
+        input_interval: int,
+        output_interval: int,
+        apply_field_trace: bool = True,
+    ) -> Ciphertext:
+        """Interleave up to input_interval/output_interval RLWE ciphertexts
+        whose payload coefficients sit at stride `input_interval` (after the
+        inherent `shift`) into one ciphertext with payload stride
+        `output_interval` (ref: evaluator_lwes.cu:305 pack_rlwe_ciphertexts).
+
+        Each input is divided by input_interval first: the merge tree
+        (x input_interval/output_interval) plus the trailing field trace
+        (x output_interval) multiplies each surviving coefficient by exactly
+        input_interval, restoring scale with no noise blowup.
+        """
+        live = [c for c in ciphers if c is not None]
+        if not live:
+            raise ValueError("[Evaluator.pack_rlwe_ciphertexts] empty input")
+        cd = self._cd(live[0])
+        n = cd.parms.poly_modulus_degree
+        if input_interval & (input_interval - 1) or output_interval & (output_interval - 1):
+            raise ValueError("[Evaluator.pack_rlwe_ciphertexts] intervals must be powers of 2")
+        m_max = input_interval // output_interval
+        if len(ciphers) > m_max:
+            raise ValueError("[Evaluator.pack_rlwe_ciphertexts] too many ciphertexts")
+        layers = m_max.bit_length() - 1
         ntt_form = cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
-        # Divide by n BEFORE merging (ref: evaluator_lwes.cu:363): only
-        # coefficient 0 of each input survives the merge+trace linear map,
-        # where the total x n factor exactly undoes this division, so the
-        # surviving noise is the original extraction noise (dividing after
-        # would scale noise by n^-1 mod Q — garbage).
-        cts: list[Ciphertext | None] = [
-            self.divide_by_poly_modulus_degree(self.assemble_lwe(lwe))
-            for lwe in lwes
-        ] + [None] * ((1 << ell) - m)
-        if ntt_form:
-            cts = [None if c is None else self.transform_to_ntt(c) for c in cts]
+        from ..utils import numth as _numth
+
+        def prepare(ct: Ciphertext | None) -> Ciphertext | None:
+            if ct is None:
+                return None
+            if ct.is_ntt_form:
+                ct = self.transform_from_ntt(ct)
+            ct = self.divide_by_poly_modulus_degree(ct, input_interval)
+            if shift:
+                ct = self.negacyclic_shift(ct, shift)
+            return ct
+
+        padded = list(ciphers) + [None] * (m_max - len(ciphers))
+        arranged: list[Ciphertext | None] = [None] * m_max
+        for k in range(m_max):
+            arranged[_numth.reverse_bits(k, layers) if layers else 0] = prepare(padded[k])
 
         def merge(sub: list, j: int) -> Ciphertext | None:
             if len(sub) == 1:
@@ -137,29 +186,21 @@ class LweOpsMixin:
             c_o = merge(sub[half:], j - 1)
             if c_e is None and c_o is None:
                 return None
-            delta = n >> j
-            g = (1 << j) + 1
+            delta = input_interval >> j
+            g = (n // input_interval) * (1 << j) + 1
             if c_o is None:
-                # S = D = c_e
                 return self.add(c_e, self.apply_galois(c_e, g, glk))
             shifted = self.negacyclic_shift(c_o, delta)
             if c_e is None:
-                # S = shifted, D = -shifted
                 return self.sub(shifted, self.apply_galois(shifted, g, glk))
             s = self.add(c_e, shifted)
             d = self.sub(c_e, shifted)
             return self.add(s, self.apply_galois(d, g, glk))
 
-        # first/second-half recursion puts input k at coefficient
-        # brv_l(k) * n/2^l, so pre-permute with bit reversal to land input i
-        # at coefficient i * n/2^l
-        from ..utils import numth as _numth
-
-        if ell:
-            arranged = [None] * (1 << ell)
-            for k in range(1 << ell):
-                arranged[_numth.reverse_bits(k, ell)] = cts[k]
-        else:
-            arranged = cts
-        packed = merge(arranged, ell)
-        return self.field_trace(packed, glk, logn_stop=ell)
+        ret = merge(arranged, layers)
+        if ntt_form:
+            ret = self.transform_to_ntt(ret)
+        if output_interval != 1 and apply_field_trace:
+            logn_stop = (n // output_interval).bit_length() - 1
+            ret = self.field_trace(ret, glk, logn_stop=logn_stop)
+        return ret
