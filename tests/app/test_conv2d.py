@@ -1,0 +1,61 @@
+"""Conv2dHelper tests (mirrors reference test/app/conv2d.cu; full pipeline
+vs plain numpy valid convolution)."""
+
+import numpy as np
+
+from tests.core.fixtures import GeneralHeContext
+
+from troy_tpu.app.conv2d import Conv2dHelper
+from troy_tpu.app.matmul import MatmulObjective
+from troy_tpu.app.encoder_adapter import BatchEncoderAdapter
+
+RNG = np.random.default_rng(31337)
+
+
+def plain_conv2d_valid(x, k, t):
+    B, Ci, H, W = x.shape
+    Co = k.shape[0]
+    kh, kw = k.shape[2], k.shape[3]
+    out = np.zeros((B, Co, H - kh + 1, W - kw + 1), dtype=object)
+    for b in range(B):
+        for oc in range(Co):
+            for i in range(H - kh + 1):
+                for j in range(W - kw + 1):
+                    acc = 0
+                    for ic in range(Ci):
+                        acc += int(
+                            (x[b, ic, i : i + kh, j : j + kw].astype(object)
+                             * k[oc, ic].astype(object)).sum())
+                    out[b, oc, i, j] = acc % t
+    return out
+
+
+def run_conv(batch=2, ci=2, co=2, H=5, W=6, kh=2, kw=3, n=64):
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    helper = Conv2dHelper(batch, ci, co, H, W, kh, kw, n,
+                          MatmulObjective.EncryptLeft)
+    x = RNG.integers(0, h.t, size=(batch, ci, H, W), dtype=np.uint64)
+    k = RNG.integers(0, h.t, size=(co, ci, kh, kw), dtype=np.uint64)
+    bias = RNG.integers(0, h.t, size=(batch, co, H - kh + 1, W - kw + 1),
+                        dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    k_enc = helper.encode_weights(adapter, k)
+    y = helper.conv2d(h.evaluator, x_enc, k_enc)
+    y = y.add_plain(helper.encode_outputs(adapter, bias), h.evaluator)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    want = (plain_conv2d_valid(x, k, h.t) + bias.astype(object)) % h.t
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)
+
+
+def test_conv2d_basic():
+    run_conv()
+
+
+def test_conv2d_tiled():
+    # forces image tiling: 8x8 image with small slot count budget
+    run_conv(batch=1, ci=1, co=1, H=8, W=8, kh=3, kw=3, n=64)
+
+
+def test_conv2d_channels():
+    run_conv(batch=1, ci=3, co=2, H=4, W=4, kh=2, kw=2, n=64)
