@@ -222,37 +222,14 @@ class Evaluator(LweOpsMixin):
         if ct1.is_ntt_form or ct2.is_ntt_form:
             raise ValueError("[Evaluator.multiply] BFV operands must be coeff form")
         square = ct1 is ct2
+        # materialize lazy tables before tracing (tracer-leak safety)
+        cd.rns_tool.materialize()
+        cd.qtab()
 
         def builder():
-            tool = cd.rns_tool
-            qtab = cd.qtab()
-            btab = tool.bsk_ntt.pack()
-            t = cd.parms.plain_modulus.value
-
-            def prep(x):
-                x_q = NTT.ntt_forward(x, qtab)                      # step 3 (q)
-                x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)            # steps 1-2
-                return x_q, NTT.ntt_forward(x_b, btab)              # step 3 (Bsk)
-
-            def mul(x1, x2):
-                a_q, a_b = prep(x1)
-                b_q, b_b = prep(x2)
-                d_q = dyadic_convolute(a_q, b_q, qtab)              # step 4
-                d_b = dyadic_convolute(a_b, b_b, btab)
-                return finish(d_q, d_b)
-
-            def sq(x1):
-                a_q, a_b = prep(x1)
-                return finish(dyadic_square(a_q, qtab), dyadic_square(a_b, btab))
-
-            def finish(d_q, d_b):
-                d_q = NTT.ntt_inverse(d_q, qtab)                    # step 5
-                d_b = NTT.ntt_inverse(d_b, btab)
-                d_q = P.multiply_scalar(d_q, t, qtab)               # x t
-                d_b = P.multiply_scalar(d_b, t, btab)
-                return tool.fast_floor_fast_b_conv_sk(d_q, d_b)     # steps 6-8
-
-            return sq if square else mul
+            if square:
+                return lambda x: self.bfv_multiply_impl(cd, x, None)
+            return lambda x1, x2: self.bfv_multiply_impl(cd, x1, x2)
 
         fn = self._jit(cd, "bfv_square" if square else "bfv_multiply", builder)
         res = fn(ct1.data) if square else fn(ct1.data, ct2.data)
@@ -260,6 +237,34 @@ class Evaluator(LweOpsMixin):
         out.data = res
         out.seed = None
         return out
+
+    def bfv_multiply_impl(self, cd: ContextData, x1: jnp.ndarray,
+                          x2: jnp.ndarray | None) -> jnp.ndarray:
+        """Pure traceable BEHZ multiply on raw (..., size, L, n) arrays;
+        x2=None squares x1.  Shared by the jitted per-level kernel and the
+        batched/parallel composites (parallel/batched.py)."""
+        tool = cd.rns_tool
+        qtab = cd.qtab()
+        btab = tool.bsk_ntt.pack()
+        t = cd.parms.plain_modulus.value
+
+        def prep(x):
+            x_q = NTT.ntt_forward(x, qtab)                      # step 3 (q)
+            x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)            # steps 1-2
+            return x_q, NTT.ntt_forward(x_b, btab)              # step 3 (Bsk)
+
+        a_q, a_b = prep(x1)
+        if x2 is None:
+            d_q, d_b = dyadic_square(a_q, qtab), dyadic_square(a_b, btab)
+        else:
+            b_q, b_b = prep(x2)
+            d_q = dyadic_convolute(a_q, b_q, qtab)              # step 4
+            d_b = dyadic_convolute(a_b, b_b, btab)
+        d_q = NTT.ntt_inverse(d_q, qtab)                        # step 5
+        d_b = NTT.ntt_inverse(d_b, btab)
+        d_q = P.multiply_scalar(d_q, t, qtab)                   # x t
+        d_b = P.multiply_scalar(d_b, t, btab)
+        return tool.fast_floor_fast_b_conv_sk(d_q, d_b)         # steps 6-8
 
     # ==================================================================
     # keyswitching (ref: evaluator_keyswitching_core.cu:757)
@@ -312,6 +317,8 @@ class Evaluator(LweOpsMixin):
 
     def _switch_key(self, cd: ContextData, target_coeff: jnp.ndarray,
                     keys: jnp.ndarray, out_ntt: bool) -> jnp.ndarray:
+        self._switch_tables(cd)  # materialize before tracing
+        cd.qtab()
         fn = self._jit(
             cd, f"switch_key_ntt{int(out_ntt)}",
             lambda: (lambda tgt, k: self._switch_key_impl(cd, tgt, k, out_ntt)),
@@ -320,15 +327,18 @@ class Evaluator(LweOpsMixin):
 
     def _switch_key_impl(self, cd: ContextData, target_coeff: jnp.ndarray,
                          keys: jnp.ndarray, out_ntt: bool) -> jnp.ndarray:
-        """Core keyswitch: target (L, n) coeff-domain poly, keys
-        (decomp_key, 2, L_key, n) NTT @ key level -> (2, L, n)
+        """Core keyswitch: target (..., L, n) coeff-domain poly, keys
+        (decomp_key, 2, L_key, n) NTT @ key level -> (..., 2, L, n);
+        arbitrary leading batch axes broadcast
         (ref: evaluator_keyswitching_core.cu, fgk/switch_key.cu)."""
         sw = self._switch_tables(cd)
         L = cd.coeff_modulus_size
         otab = sw["otab"]
         O = L + 1
-        # digits: D[i, j] = [target_i]_{p_j}  (lift each digit to all output primes)
-        x = jnp.broadcast_to(target_coeff[:, None, :], (L, O, target_coeff.shape[-1]))
+        n = target_coeff.shape[-1]
+        lead = target_coeff.shape[:-2]
+        # digits: D[..., i, j, :] = [target_i]_{p_j} (lift digits to all output primes)
+        x = jnp.broadcast_to(target_coeff[..., :, None, :], lead + (L, O, n))
         D = P.modulo(x, otab)
         D = NTT.ntt_forward(D, otab)
         # inner product with keys over decomposition primes
@@ -336,21 +346,22 @@ class Evaluator(LweOpsMixin):
         q = otab["q"][:, None]
         acc = None
         for i in range(L):
-            term = P.dyadic_product(D[i][None], keys_sel[i], otab)
+            term = P.dyadic_product(D[..., i, None, :, :], keys_sel[i], otab)
             acc = term if acc is None else U.add_mod(acc, term, q)
-        # divide by the special prime (NTT-domain divide_and_round)
+        # acc: (..., 2, O, n); divide by the special prime (NTT-domain)
         sp_tab = sw["sp_tab"]
-        last = NTT.ntt_inverse(acc[:, L:, :], sp_tab)          # (2, 1, n)
+        last = NTT.ntt_inverse(acc[..., :, L:, :], sp_tab)     # (..., 2, 1, n)
         qtab = cd.qtab()
         lq = qtab["q"][:, None]
         lhi = qtab["ratio_hi"][:, None]
         llo = qtab["ratio_lo"][:, None]
+        body_shape = lead + (2, L, n)
         if cd.parms.scheme == SchemeType.BGV:
             # delta ≡ last (mod q_sp), ≡ 0 (mod t): delta = t * centered([last * t^-1]_{q_sp})
             t_val = cd.parms.plain_modulus.value
             h = U.mul_mod(last, sw["inv_t_mod_sp"], U.u32(sw["q_sp"]),
                           sw["sp_ratio_hi"], sw["sp_ratio_lo"])
-            h_b = jnp.broadcast_to(h, (2, L, last.shape[-1]))
+            h_b = jnp.broadcast_to(h, body_shape)
             h_mod = U.barrett_reduce_u32(h_b, lq, lhi, llo)
             h_c = jnp.where(h_b > U.U32(sw["q_sp"] >> 1),
                             U.sub_mod(h_mod, sw["sp_mod_q"], lq), h_mod)
@@ -358,14 +369,14 @@ class Evaluator(LweOpsMixin):
         else:
             last_plus = U.add_mod(last, sw["sp_half"], U.u32(sw["q_sp"]))
             tmp = U.barrett_reduce_u32(
-                jnp.broadcast_to(last_plus, (2, L, last.shape[-1])), lq, lhi, llo
+                jnp.broadcast_to(last_plus, body_shape), lq, lhi, llo
             )
             tmp = U.sub_mod(tmp, sw["sp_half_mod_q"], lq)
         if out_ntt:
             tmp = NTT.ntt_forward(tmp, qtab)
-            diff = U.sub_mod(acc[:, :L, :], tmp, lq)
+            diff = U.sub_mod(acc[..., :, :L, :], tmp, lq)
             return U.shoup_mul(diff, sw["inv_sp_mod_q"], sw["inv_sp_mod_q_shoup"], lq)
-        body = NTT.ntt_inverse(acc[:, :L, :], qtab)
+        body = NTT.ntt_inverse(acc[..., :, :L, :], qtab)
         diff = U.sub_mod(body, tmp, lq)
         return U.shoup_mul(diff, sw["inv_sp_mod_q"], sw["inv_sp_mod_q_shoup"], lq)
 

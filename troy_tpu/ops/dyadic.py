@@ -15,27 +15,30 @@ from . import u32 as U, poly as P
 
 
 def dyadic_convolute(a: jnp.ndarray, b: jnp.ndarray, t: dict) -> jnp.ndarray:
-    """a: (s1, L, n), b: (s2, L, n) NTT form -> (s1+s2-1, L, n)."""
-    s1, s2 = a.shape[0], b.shape[0]
+    """a: (..., s1, L, n), b: (..., s2, L, n) NTT form -> (..., s1+s2-1, L, n).
+    The poly-count axis is -3 so arbitrary leading batch axes broadcast."""
+    s1, s2 = a.shape[-3], b.shape[-3]
     q = t["q"][:, None]
     out = [None] * (s1 + s2 - 1)
     for i in range(s1):
         for j in range(s2):
-            prod = P.dyadic_product(a[i], b[j], t)
+            prod = P.dyadic_product(a[..., i, :, :], b[..., j, :, :], t)
             k = i + j
             out[k] = prod if out[k] is None else U.add_mod(out[k], prod, q)
-    return jnp.stack(out)
+    return jnp.stack(out, axis=-3)
 
 
 def dyadic_square(a: jnp.ndarray, t: dict) -> jnp.ndarray:
     """Specialized square of a 2-poly ciphertext: 3 outputs from 2 polys
     (ref: dyadic_convolute.cu dyadic_square)."""
     q = t["q"][:, None]
-    c0 = P.dyadic_product(a[0], a[0], t)
-    cross = P.dyadic_product(a[0], a[1], t)
+    a0 = a[..., 0, :, :]
+    a1 = a[..., 1, :, :]
+    c0 = P.dyadic_product(a0, a0, t)
+    cross = P.dyadic_product(a0, a1, t)
     c1 = U.add_mod(cross, cross, q)
-    c2 = P.dyadic_product(a[1], a[1], t)
-    return jnp.stack([c0, c1, c2])
+    c2 = P.dyadic_product(a1, a1, t)
+    return jnp.stack([c0, c1, c2], axis=-3)
 
 
 def dyadic_broadcast_product(a: jnp.ndarray, plain: jnp.ndarray, t: dict) -> jnp.ndarray:

@@ -1,0 +1,59 @@
+"""Multi-chip mesh sharding for batched HE workloads.
+
+TPU-native replacement for the reference's multi-GPU story (SURVEY.md §2.10:
+per-device memory pools, independent replicas, NO cross-device collectives).
+Here scaling is declarative: a jax.sharding.Mesh with
+
+  'data' axis — ciphertext-batch parallelism (embarrassingly parallel; the
+                reference's "independent multi-GPU" maps here),
+  'limb' axis — RNS-limb parallelism within one ciphertext (NTT and all
+                elementwise ops are limb-independent; base conversion and
+                keyswitch inner products induce all-gather / psum collectives
+                that XLA GSPMD inserts automatically from the shardings).
+
+Usage:
+    mesh = make_mesh(data=2, limb=4)
+    step = jax.jit(batched.build_mul_relin_step(rlk), ...)
+    d1 = shard_batch(d1, mesh)     # (B, size, L, n): B over 'data', L over 'limb'
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+
+def make_mesh(data: int | None = None, limb: int = 1,
+              devices: list | None = None) -> Mesh:
+    """Create a (data, limb) mesh over the available devices."""
+    devs = devices if devices is not None else jax.devices()
+    if data is None:
+        data = len(devs) // limb
+    if data * limb > len(devs):
+        raise ValueError(
+            f"[make_mesh] need {data * limb} devices, have {len(devs)}"
+        )
+    arr = np.array(devs[: data * limb]).reshape(data, limb)
+    return Mesh(arr, ("data", "limb"))
+
+
+def ct_batch_spec(mesh: Mesh, shard_limbs: bool = True) -> NamedSharding:
+    """Sharding for a stacked ciphertext batch (B, size, L, n):
+    batch over 'data', RNS limb axis over 'limb'."""
+    return NamedSharding(
+        mesh, PSpec("data", None, "limb" if shard_limbs else None, None)
+    )
+
+
+def table_spec(mesh: Mesh) -> NamedSharding:
+    """Tables (L, n) replicate over 'data', shard limbs over 'limb'."""
+    return NamedSharding(mesh, PSpec("limb", None))
+
+
+def shard_batch(data, mesh: Mesh, shard_limbs: bool = True):
+    return jax.device_put(data, ct_batch_spec(mesh, shard_limbs))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, PSpec()))

@@ -191,6 +191,20 @@ class RNSTool:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+    def materialize(self):
+        """Force-build every device table eagerly.  Must be called before
+        tracing a jitted function that uses this tool — building packs inside
+        a trace would store tracers into these long-lived caches."""
+        convs = [self.conv_q_to_Bsk_m_tilde, self.conv_q_to_Bsk,
+                 self.conv_B_to_q, self.conv_B_to_m_sk]
+        if self.t is not None:
+            convs.append(self.conv_q_to_t_gamma)
+        for conv in convs:
+            conv.ibase.pack()
+            conv.obase.pack()
+        self.bsk_ntt.pack()
+        return self
+
     def _tab(self, base: RNSBase, x):
         p = base.pack()
         lead = (1,) * (x.ndim - 2)
