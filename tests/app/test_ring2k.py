@@ -1,0 +1,61 @@
+"""Ring2k encoder tests (mirrors reference test/app coverage for
+bfv_ring2k u32; examples/13_ring2k.cu)."""
+
+import numpy as np
+
+from tests.core.fixtures import GeneralHeContext
+from troy_tpu.app.ring2k import PolynomialEncoderRing2k
+
+RNG = np.random.default_rng(606)
+
+
+def make(k):
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30, 30, 30, 30))
+    return h, PolynomialEncoderRing2k(h.context, k)
+
+
+def test_scale_up_down_roundtrip():
+    for k in (8, 17, 31):
+        h, enc = make(k)
+        m = RNG.integers(0, 1 << k, size=h.n, dtype=np.uint64)
+        pt = enc.scale_up(m)
+        ct = h.encryptor.encrypt_asymmetric(pt)
+        out = enc.decrypt_scale_down(h.decryptor, ct)
+        np.testing.assert_array_equal(out, m, err_msg=f"k={k}")
+
+
+def test_homomorphic_add():
+    k = 20
+    h, enc = make(k)
+    mask = (1 << k) - 1
+    m1 = RNG.integers(0, 1 << k, size=h.n, dtype=np.uint64)
+    m2 = RNG.integers(0, 1 << k, size=h.n, dtype=np.uint64)
+    ct1 = h.encryptor.encrypt_asymmetric(enc.scale_up(m1))
+    ct2 = h.encryptor.encrypt_asymmetric(enc.scale_up(m2))
+    s = h.evaluator.add(ct1, ct2)
+    np.testing.assert_array_equal(
+        enc.decrypt_scale_down(h.decryptor, s), (m1 + m2) & mask)
+    # add_plain with scale-up form
+    s2 = h.evaluator.add_plain(ct1, enc.scale_up(m2))
+    np.testing.assert_array_equal(
+        enc.decrypt_scale_down(h.decryptor, s2), (m1 + m2) & mask)
+
+
+def test_multiply_centralized_plain():
+    k = 16
+    h, enc = make(k)
+    mask = (1 << k) - 1
+    m1 = RNG.integers(0, 1 << k, size=h.n, dtype=np.uint64)
+    m2 = RNG.integers(0, 1 << k, size=h.n, dtype=np.uint64)
+    ct = h.encryptor.encrypt_asymmetric(enc.scale_up(m1))
+    pt = enc.centralize(m2)
+    prod = h.evaluator.multiply_plain(ct, pt)
+    # negacyclic polynomial product mod 2^k
+    n = h.n
+    want = np.zeros(n, dtype=object)
+    for i in range(n):
+        for j in range(n):
+            idx, sgn = (i + j, 1) if i + j < n else (i + j - n, -1)
+            want[idx] += sgn * int(m1[i]) * int(m2[j])
+    want = np.array([w % (1 << k) for w in want], dtype=np.uint64)
+    np.testing.assert_array_equal(enc.decrypt_scale_down(h.decryptor, prod), want)

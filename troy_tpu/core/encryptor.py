@@ -61,7 +61,10 @@ class Encryptor:
         qtab = cd.qtab()
         q = qtab["q"][:, None]
         if scheme == SchemeType.BFV:
-            delta_m = cd.scaler.scale_up(plain.data[0])
+            if plain.coeff_modulus_size > 1:  # pre-lifted (ring2k scale-up)
+                delta_m = plain.data
+            else:
+                delta_m = cd.scaler.scale_up(plain.data[0])
             c0 = U.add_mod(ct.data[0], delta_m, q)
         elif scheme == SchemeType.CKKS:
             if plain.parms_id != cd.parms_id:

@@ -126,9 +126,10 @@ class Evaluator(LweOpsMixin):
     # ==================================================================
     def _plain_to_level(self, plain: Plaintext, cd: ContextData, ntt: bool):
         """Lift a plaintext to (L, n) RNS at cd's level (centered), optionally
-        NTT form."""
+        NTT form.  Plaintexts already in RNS form (CKKS, or ring2k
+        scale-up/centralize outputs with a non-zero parms_id) pass through."""
         scheme = cd.parms.scheme
-        if scheme == SchemeType.CKKS:
+        if scheme == SchemeType.CKKS or plain.coeff_modulus_size > 1:
             data = plain.data
             if ntt and not plain.is_ntt_form:
                 data = NTT.ntt_forward(data, cd.qtab())
@@ -145,7 +146,10 @@ class Evaluator(LweOpsMixin):
         q = qtab["q"][:, None]
         out = ct.clone()
         if scheme == SchemeType.BFV:
-            delta_m = cd.scaler.scale_up(plain.data[0])
+            if plain.coeff_modulus_size > 1:  # ring2k scale-up form
+                delta_m = plain.data
+            else:
+                delta_m = cd.scaler.scale_up(plain.data[0])
             out.data = out.data.at[0].set(U.add_mod(ct.data[0], delta_m, q))
         elif scheme == SchemeType.CKKS:
             m = self._plain_to_level(plain, cd, ntt=True)
