@@ -23,18 +23,33 @@ REPS = int(__import__("os").environ.get("TROY_BENCH_REPS", "10"))
 TARGET_OPS_PER_SEC = 750.0  # 5x CPU-SEAL (~150 ops/s) per BASELINE.md
 
 
+def _log(msg):
+    import sys
+
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    import faulthandler
+    import sys
+
+    faulthandler.dump_traceback_later(120, repeat=True, file=sys.stderr)
     import jax
 
     from __graft_entry__ import _make_step_and_args
 
+    _log("setup (host)...")
     step, (d1, d2, keys), context, batched = _make_step_and_args(
         8192, [30] * 7, batch=BATCH, setup_on_cpu=True
     )
+    _log("setup done; moving args to device + compiling...")
+    dev = jax.devices()[0]
+    d1, d2, keys = jax.device_put((d1, d2, keys), dev)
     fn = jax.jit(step)
     # warmup / compile
     out = fn(d1, d2, keys)
     jax.block_until_ready(out)
+    _log("compiled; timing...")
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(d1, d2, keys)

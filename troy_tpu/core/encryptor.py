@@ -37,11 +37,39 @@ class Encryptor:
         pid = parms_id or self.context.first_parms_id
         return self.context.get_context_data(pid)
 
+    def _use_special_prime(self, cd: ContextData) -> bool:
+        """Special-prime encryption (ref: encryptor.cu:264-301,
+        test/special_prime_for_encryption.cu): encrypt at the key level then
+        divide by the special prime, shrinking fresh noise by ~q_special."""
+        return (cd.parms.use_special_prime_for_encryption
+                and cd.parms_id == self.context.first_parms_id
+                and self.context.using_keyswitching)
+
+    def _divide_special(self, data, key_cd: ContextData, ntt_form: bool):
+        scheme = key_cd.parms.scheme
+        if not ntt_form:
+            return key_cd.rns_tool.divide_and_round_q_last(data)
+        if scheme == SchemeType.BGV:
+            return key_cd.rns_tool.mod_t_and_divide_q_last_ntt(data, key_cd.qtab())
+        return key_cd.rns_tool.divide_and_round_q_last_ntt(data, key_cd.qtab())
+
     def encrypt_zero_asymmetric(self, parms_id: ParmsID | None = None) -> Ciphertext:
         if self.pk is None:
             raise ValueError("[Encryptor] no public key set")
         cd = self._level(parms_id)
         ntt_form = cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
+        if self._use_special_prime(cd):
+            key_cd = self.context.key_context_data()
+            data = encrypt_zero_asymmetric(key_cd, self.pk.data(), self.prng, ntt_form)
+            data = self._divide_special(data, key_cd, ntt_form)
+            ct = Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form)
+            if cd.parms.scheme == SchemeType.BGV:
+                t = cd.parms.plain_modulus.value
+                q_sp = key_cd.parms.coeff_modulus[-1].value
+                from ..utils import numth
+
+                ct.correction_factor = numth.invert_mod(q_sp % t, t)
+            return ct
         data = encrypt_zero_asymmetric(cd, self.pk.data(), self.prng, ntt_form)
         return Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form)
 
@@ -51,6 +79,21 @@ class Encryptor:
             raise ValueError("[Encryptor] no secret key set")
         cd = self._level(parms_id)
         ntt_form = cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
+        if self._use_special_prime(cd):
+            # seed compression is incompatible with the post-encryption
+            # division (c1 is no longer the raw PRNG output)
+            key_cd = self.context.key_context_data()
+            data = encrypt_zero_symmetric(key_cd, self.sk.data, self.prng,
+                                          ntt_form, None)
+            data = self._divide_special(data, key_cd, ntt_form)
+            ct = Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form)
+            if cd.parms.scheme == SchemeType.BGV:
+                t = cd.parms.plain_modulus.value
+                q_sp = key_cd.parms.coeff_modulus[-1].value
+                from ..utils import numth
+
+                ct.correction_factor = numth.invert_mod(q_sp % t, t)
+            return ct
         seed = self.prng.new_seed() if save_seed else None
         data = encrypt_zero_symmetric(cd, self.sk.data, self.prng, ntt_form, seed)
         return Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form, seed=seed)
