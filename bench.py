@@ -1,9 +1,9 @@
 """Benchmark: BFV ciphertext multiply + relinearize throughput per chip.
 
 Runs the flagship op (SURVEY.md §3.3, BASELINE.md north star) at n=8192 with
-a 7x30-bit modulus chain (≈218-bit budget, HE-standard 128-bit security for
-n=8192) on the default JAX device (the real TPU chip under the driver; CPU
-otherwise) and prints ONE JSON line:
+a 7x30-bit modulus chain (≈210-bit budget, within the HE-standard 128-bit
+bound for n=8192) on the default JAX device (the real TPU chip under the
+driver; CPU otherwise) and prints ONE JSON line:
 
     {"metric": "bfv_n8192_mul_relin_ops_per_sec", "value": N,
      "unit": "ciphertexts/s", "vs_baseline": N / 750.0}
@@ -11,15 +11,23 @@ otherwise) and prints ONE JSON line:
 Baseline: CPU-SEAL single-thread BFV multiply+relinearize at n=8192 is
 ~150 ops/s (6-7 ms/op); the BASELINE.md target is >= 5x that per chip, so
 vs_baseline = value / 750 and >= 1.0 means the north-star target is met.
+
+The client-side setup (keygen, encryption) runs eagerly on the host CPU
+backend and is cached to TROY_BENCH_CACHE (default /tmp/troy_bench_cache) so
+repeated runs skip straight to the jitted device benchmark.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-BATCH = int(__import__("os").environ.get("TROY_BENCH_BATCH", "16"))
-REPS = int(__import__("os").environ.get("TROY_BENCH_REPS", "10"))
+BATCH = int(os.environ.get("TROY_BENCH_BATCH", "16"))
+REPS = int(os.environ.get("TROY_BENCH_REPS", "10"))
+N = int(os.environ.get("TROY_BENCH_N", "8192"))
+LIMBS = int(os.environ.get("TROY_BENCH_LIMBS", "7"))
+CACHE = os.environ.get("TROY_BENCH_CACHE", "/tmp/troy_bench_cache")
 TARGET_OPS_PER_SEC = 750.0  # 5x CPU-SEAL (~150 ops/s) per BASELINE.md
 
 
@@ -29,24 +37,75 @@ def _log(msg):
     print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
 
-def main():
-    import faulthandler
-    import sys
+def _cache_paths():
+    tag = f"n{N}_L{LIMBS}"
+    return (os.path.join(CACHE, f"{tag}_ct.npy"),
+            os.path.join(CACHE, f"{tag}_keys.npy"))
 
-    faulthandler.dump_traceback_later(120, repeat=True, file=sys.stderr)
+
+def setup_cache():
+    """Host-side client setup: encrypt one ct pair + relin keys, cache as npy."""
+    import contextlib
+
     import jax
+    import jax.numpy as jnp
 
-    from __graft_entry__ import _make_step_and_args
+    ct_path, keys_path = _cache_paths()
+    if os.path.exists(ct_path) and os.path.exists(keys_path):
+        return
+    _log("setup (host, cold cache)...")
+    from __graft_entry__ import _build
 
-    _log("setup (host)...")
-    step, (d1, d2, keys), context, batched = _make_step_and_args(
-        8192, [30] * 7, batch=BATCH, setup_on_cpu=True
-    )
-    _log("setup done; moving args to device + compiling...")
+    with jax.default_device(jax.devices("cpu")[0]):
+        context, keygen, encryptor, evaluator, encoder = _build(N, [30] * LIMBS, 20)
+        rng = np.random.default_rng(7)
+        cd = context.first_context_data()
+        t_val = cd.parms.plain_modulus.value
+        m1 = rng.integers(0, t_val, size=N, dtype=np.uint64)
+        m2 = rng.integers(0, t_val, size=N, dtype=np.uint64)
+        ct1 = encryptor.encrypt_symmetric(encoder.encode(m1))
+        ct2 = encryptor.encrypt_symmetric(encoder.encode(m2))
+        rlk = keygen.create_relin_keys()
+        os.makedirs(CACHE, exist_ok=True)
+        np.save(ct_path, np.stack([np.asarray(ct1.data), np.asarray(ct2.data)]))
+        np.save(keys_path, np.asarray(rlk.key(2)))
+    _log("setup cached")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    setup_cache()
+    ct_path, keys_path = _cache_paths()
+    _log("building step (host tables)...")
+    from __graft_entry__ import _build
+    from troy_tpu.parallel.batched import BatchedEvaluator
+    from troy_tpu.core.params import EncryptionParameters, SchemeType
+    from troy_tpu.core.context import HeContext
+    from troy_tpu.core.coeff_modulus import CoeffModulus, PlainModulus, SecurityLevel
+    from troy_tpu.core.evaluator import Evaluator
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(N)
+        parms.set_coeff_modulus(CoeffModulus.create(N, [30] * LIMBS))
+        parms.set_plain_modulus(PlainModulus.batching(N, 20))
+        context = HeContext.create(parms, True, SecurityLevel.Nil, 0xBEEF)
+        evaluator = Evaluator(context)
+        cd = context.first_context_data()
+        batched = BatchedEvaluator(evaluator, cd)
+        cts = np.load(ct_path)
+        keys_np = np.load(keys_path)
+        d1 = jnp.asarray(np.broadcast_to(cts[0][None], (BATCH,) + cts[0].shape))
+        d2 = jnp.asarray(np.broadcast_to(cts[1][None], (BATCH,) + cts[1].shape))
+        keys = jnp.asarray(keys_np)
+        step = batched.build_mul_relin_step(keys)
+
+    _log(f"compiling on {jax.devices()[0]} (batch={BATCH})...")
     dev = jax.devices()[0]
     d1, d2, keys = jax.device_put((d1, d2, keys), dev)
     fn = jax.jit(step)
-    # warmup / compile
     out = fn(d1, d2, keys)
     jax.block_until_ready(out)
     _log("compiled; timing...")
