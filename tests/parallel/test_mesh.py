@@ -1,0 +1,75 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(the TPU analog of reference test/multithread.cu multi-device cases,
+SURVEY.md §2.10)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.core.fixtures import GeneralHeContext
+from troy_tpu.parallel import mesh as M
+from troy_tpu.parallel.batched import BatchedEvaluator
+
+RNG = np.random.default_rng(616)
+
+needs_8 = pytest.mark.skipif(jax.device_count() < 8,
+                             reason="needs 8 virtual devices")
+
+
+def _setup(n=32, q_bits=(30, 30, 30, 30, 30)):
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=q_bits)
+    cd = h.context.first_context_data()
+    batched = BatchedEvaluator(h.evaluator, cd)
+    rlk = h.keygen.create_relin_keys()
+    return h, cd, batched, rlk
+
+
+@needs_8
+def test_sharded_mul_relin_matches_single_device():
+    h, cd, batched, rlk = _setup()
+    B = 8
+    ms1 = [h.random_simd(RNG) for _ in range(B)]
+    ms2 = [h.random_simd(RNG) for _ in range(B)]
+    cts1 = [h.encrypt(m) for m in ms1]
+    cts2 = [h.encrypt(m) for m in ms2]
+    d1, d2 = batched.stack(cts1), batched.stack(cts2)
+    keys = rlk.key(2)
+    step = batched.build_mul_relin_step(keys)
+
+    ref = jax.jit(step)(d1, d2, keys)
+
+    # data x limb mesh: batch over 4 devices, L=4 limbs over 2 devices
+    m = M.make_mesh(data=4, limb=2)
+    d1s = M.shard_batch(d1, m)
+    d2s = M.shard_batch(d2, m)
+    keys_r = M.replicate(keys, m)
+    out = jax.jit(step)(d1s, d2s, keys_r)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # decrypt a couple to confirm end-to-end correctness through sharding
+    for i in (0, B - 1):
+        ct = cts1[0].clone()
+        ct.data = jnp.asarray(np.asarray(out)[i])
+        dec = h.decrypt(ct)
+        np.testing.assert_array_equal(dec, ms1[i] * ms2[i] % h.t)
+
+
+@needs_8
+def test_data_parallel_scaling_shapes():
+    h, cd, batched, rlk = _setup()
+    m = M.make_mesh(data=8, limb=1)
+    B = 16
+    ct = h.encrypt(h.random_simd(RNG))
+    d = jnp.tile(ct.data[None], (B, 1, 1, 1))
+    ds = M.shard_batch(d, m, shard_limbs=False)
+    assert ds.sharding.spec[0] == "data"
+    keys = M.replicate(rlk.key(2), m)
+    out = jax.jit(batched.build_mul_relin_step(keys))(ds, ds, keys)
+    assert out.shape == (B, 2, cd.coeff_modulus_size, h.n)
+
+
+def test_mesh_construction():
+    m = M.make_mesh(data=2, limb=2)
+    assert m.axis_names == ("data", "limb")
+    assert m.devices.shape == (2, 2)

@@ -579,6 +579,89 @@ class Evaluator(LweOpsMixin):
         out.data = P.negacyclic_shift(ct.data, shift, cd.qtab())
         return out
 
+    # ==================================================================
+    # batched variants (ref: the *_batched API family, SURVEY.md §2.10;
+    # here: stack ciphertext lists into one (B, size, L, n) array and run
+    # the broadcast kernels once — the TPU-native replacement for the
+    # reference's blockIdx.y batch dimension)
+    # ==================================================================
+    def _stack(self, cts: list[Ciphertext]) -> jnp.ndarray:
+        return jnp.stack([ct.data for ct in cts])
+
+    def _unstack(self, data: jnp.ndarray, proto: Ciphertext,
+                 metas: list[Ciphertext] | None = None) -> list[Ciphertext]:
+        out = []
+        for i in range(data.shape[0]):
+            ct = (metas[i] if metas else proto).clone()
+            ct.data = data[i]
+            ct.seed = None
+            out.append(ct)
+        return out
+
+    def add_batched(self, cts1: list[Ciphertext], cts2: list[Ciphertext]) -> list[Ciphertext]:
+        cd = self._cd(cts1[0])
+        res = P.add(self._stack(cts1), self._stack(cts2), cd.qtab())
+        return self._unstack(res, cts1[0], cts1)
+
+    def sub_batched(self, cts1, cts2) -> list[Ciphertext]:
+        cd = self._cd(cts1[0])
+        res = U.sub_mod(self._stack(cts1), self._stack(cts2),
+                        cd.qtab()["q"][:, None])
+        return self._unstack(res, cts1[0], cts1)
+
+    def negate_batched(self, cts) -> list[Ciphertext]:
+        cd = self._cd(cts[0])
+        return self._unstack(P.negate(self._stack(cts), cd.qtab()), cts[0], cts)
+
+    def multiply_batched(self, cts1, cts2) -> list[Ciphertext]:
+        cd = self._cd(cts1[0])
+        if cd.parms.scheme == SchemeType.BFV:
+            cd.rns_tool.materialize()
+            fn = self._jit(cd, "bfv_multiply_batched",
+                           lambda: (lambda a, b: self.bfv_multiply_impl(cd, a, b)))
+            res = fn(self._stack(cts1), self._stack(cts2))
+        else:
+            res = dyadic_convolute(self._stack(cts1), self._stack(cts2), cd.qtab())
+        out = self._unstack(res, cts1[0], cts1)
+        for o, a, b in zip(out, cts1, cts2):
+            if cd.parms.scheme == SchemeType.CKKS:
+                o.scale = a.scale * b.scale
+            elif cd.parms.scheme == SchemeType.BGV:
+                t = cd.parms.plain_modulus.value
+                o.correction_factor = a.correction_factor * b.correction_factor % t
+        return out
+
+    def relinearize_batched(self, cts, rlk: RelinKeys) -> list[Ciphertext]:
+        cd = self._cd(cts[0])
+        ntt_form = cts[0].is_ntt_form
+        self._switch_tables(cd)
+        stacked = self._stack(cts)
+        target = stacked[:, 2]
+        if ntt_form:
+            target = NTT.ntt_inverse(target, cd.qtab())
+        sw = self._switch_key(cd, target, rlk.key(2), out_ntt=ntt_form)
+        res = P.add(stacked[:, :2], sw, cd.qtab())
+        return self._unstack(res, cts[0], cts)
+
+    def multiply_plain_batched(self, cts, plains) -> list[Ciphertext]:
+        cd = self._cd(cts[0])
+        qtab = cd.qtab()
+        m_ntt = jnp.stack([self._plain_to_level(p, cd, ntt=True) for p in plains])
+        if cd.parms.scheme == SchemeType.BFV:
+            ct_ntt = NTT.ntt_forward(self._stack(cts), qtab)
+            prod = P.dyadic_product(ct_ntt, m_ntt[:, None], qtab)
+            res = NTT.ntt_inverse(prod, qtab)
+        else:
+            res = P.dyadic_product(self._stack(cts), m_ntt[:, None], qtab)
+        out = self._unstack(res, cts[0], cts)
+        if cd.parms.scheme == SchemeType.CKKS:
+            for o, c, p in zip(out, cts, plains):
+                o.scale = c.scale * p.scale
+        return out
+
+    def mod_switch_to_next_batched(self, cts) -> list[Ciphertext]:
+        return [self.mod_switch_to_next(ct) for ct in cts]
+
     # -- reference-style aliases -------------------------------------------
     add_new = add
     sub_new = sub
