@@ -43,33 +43,62 @@ def _cache_paths():
             os.path.join(CACHE, f"{tag}_keys.npy"))
 
 
-def setup_cache():
-    """Host-side client setup: encrypt one ct pair + relin keys, cache as npy."""
-    import contextlib
+def _cache_expected():
+    tag = f"n{N}_L{LIMBS}"
+    return os.path.join(CACHE, f"{tag}_expected.npy")
 
-    import jax
-    import jax.numpy as jnp
+
+def setup_cache():
+    """Host-side client setup in a pure-CPU subprocess (the axon tunnel makes
+    in-process eager CPU work crawl); caches ciphertexts, keys, and the
+    expected mul+relin output for the built-in correctness check."""
+    import subprocess
+    import sys
 
     ct_path, keys_path = _cache_paths()
-    if os.path.exists(ct_path) and os.path.exists(keys_path):
+    if all(os.path.exists(p) for p in (ct_path, keys_path, _cache_expected())):
         return
-    _log("setup (host, cold cache)...")
-    from __graft_entry__ import _build
-
-    with jax.default_device(jax.devices("cpu")[0]):
-        context, keygen, encryptor, evaluator, encoder = _build(N, [30] * LIMBS, 20)
-        rng = np.random.default_rng(7)
-        cd = context.first_context_data()
-        t_val = cd.parms.plain_modulus.value
-        m1 = rng.integers(0, t_val, size=N, dtype=np.uint64)
-        m2 = rng.integers(0, t_val, size=N, dtype=np.uint64)
-        ct1 = encryptor.encrypt_symmetric(encoder.encode(m1))
-        ct2 = encryptor.encrypt_symmetric(encoder.encode(m2))
-        rlk = keygen.create_relin_keys()
-        os.makedirs(CACHE, exist_ok=True)
-        np.save(ct_path, np.stack([np.asarray(ct1.data), np.asarray(ct2.data)]))
-        np.save(keys_path, np.asarray(rlk.key(2)))
+    _log("setup (cpu subprocess, cold cache)...")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    code = f"""
+import bench
+bench.N, bench.LIMBS, bench.CACHE = {N}, {LIMBS}, {CACHE!r}
+bench._setup_cache_impl()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
     _log("setup cached")
+
+
+def _setup_cache_impl():
+    """Runs inside the JAX_PLATFORMS=cpu subprocess."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from __graft_entry__ import _build
+    from troy_tpu.parallel.batched import BatchedEvaluator
+
+    context, keygen, encryptor, evaluator, encoder = _build(N, [30] * LIMBS, 20)
+    rng = np.random.default_rng(7)
+    cd = context.first_context_data()
+    t_val = cd.parms.plain_modulus.value
+    m1 = rng.integers(0, t_val, size=N, dtype=np.uint64)
+    m2 = rng.integers(0, t_val, size=N, dtype=np.uint64)
+    ct1 = encryptor.encrypt_symmetric(encoder.encode(m1))
+    ct2 = encryptor.encrypt_symmetric(encoder.encode(m2))
+    rlk = keygen.create_relin_keys()
+    # expected single-op output via the default radix-2 path (ground truth)
+    batched = BatchedEvaluator(evaluator, cd)
+    keys = rlk.key(2)
+    step = batched.build_mul_relin_step(keys)
+    import jax as _jax
+
+    expected = np.asarray(_jax.jit(step)(ct1.data[None], ct2.data[None], keys))
+    ct_path, keys_path = _cache_paths()
+    os.makedirs(CACHE, exist_ok=True)
+    np.save(ct_path, np.stack([np.asarray(ct1.data), np.asarray(ct2.data)]))
+    np.save(keys_path, np.asarray(keys))
+    np.save(_cache_expected(), expected)
 
 
 def main():
@@ -108,13 +137,18 @@ def main():
     fn = jax.jit(step)
     out = fn(d1, d2, keys)
     jax.block_until_ready(out)
-    _log("compiled; timing...")
+    # correctness gate: device result must match the CPU radix-2 ground truth
+    expected = np.load(_cache_expected())
+    got = np.asarray(out)[:1]
+    if not (got == expected).all():
+        raise AssertionError("[bench] device output mismatches CPU reference")
+    _log("compiled + verified; timing...")
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = fn(d1, d2, keys)
-    jax.block_until_ready(out)
+    outs = [fn(d1, d2, keys) for _ in range(REPS)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     ops_per_sec = BATCH * REPS / dt
+    _log(f"{dt*1e3/REPS:.3f} ms per batched step")
     print(json.dumps({
         "metric": "bfv_n8192_mul_relin_ops_per_sec",
         "value": round(ops_per_sec, 2),

@@ -1,0 +1,68 @@
+"""Microbenchmark: radix-2 vs MXU NTT on the attached device.
+
+Reports ns per single 2^14-coefficient polynomial-limb transform (the
+BASELINE.md tracked metric) and per-batch wall time.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from troy_tpu.core.modulus import Modulus
+    from troy_tpu.ops.ntt import NTTTables, ntt_forward, ntt_forward_sixstep
+    from troy_tpu.ops.ntt_mxu import MxuNTTTables, ntt_forward_mxu
+    from troy_tpu.utils import numth
+
+    log_n = int(os.environ.get("NTT_LOG_N", "13"))
+    L = int(os.environ.get("NTT_L", "6"))
+    B = int(os.environ.get("NTT_B", "16"))
+    n = 1 << log_n
+    reps = 20
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        mods = [Modulus(p) for p in numth.get_primes(2 * n, 30, L)]
+        ref = NTTTables(log_n, mods)
+        mxu = MxuNTTTables(log_n, mods)
+        rng = np.random.default_rng(0)
+        q = np.array([m.value for m in mods], dtype=np.uint32)
+        x = (rng.integers(0, 1 << 30, size=(B, L, n)).astype(np.uint32)
+             % q[None, :, None])
+        xj = jnp.asarray(x)
+        rpack = ref.pack()
+        mpack = mxu.pack()
+        sspack = dict(rpack)
+        sspack.update(ref._sixstep_pack())
+
+    dev = jax.devices()[0]
+    print("device:", dev)
+    xj = jax.device_put(xj, dev)
+
+    for name, fn, pack in [
+        ("radix2", ntt_forward, rpack),
+        ("sixstep", ntt_forward_sixstep, sspack),
+        ("mxu", lambda a, t: ntt_forward_mxu(a, t), mpack),
+    ]:
+        jfn = jax.jit(lambda a, t=pack, f=fn: f(a, t))
+        out = jfn(xj)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = jfn(xj)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        per_poly_ns = dt / (B * L) * (1 << 14) / n * 1e9
+        print(f"{name:8s}: {dt*1e3:8.3f} ms/batch({B}x{L}x{n})  "
+              f"= {per_poly_ns:9.0f} ns per 2^14-poly-limb")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,24 @@ class CKKSEncoder:
         """A constant: value in every slot = constant coefficient c_0."""
         return self.encode_float64_polynomial([value], parms_id, scale)
 
+    def encode_complex64_single(self, value: complex,
+                                parms_id: ParmsID | None = None,
+                                scale: float = 2.0 ** 40) -> Plaintext:
+        """A complex constant in every slot (ref: ckks_encoder.h
+        encode_complex64_single)."""
+        return self.encode(np.full(self.slots, value, dtype=np.complex128),
+                           parms_id, scale)
+
+    def encode_integer64_single(self, value: int,
+                                parms_id: ParmsID | None = None) -> Plaintext:
+        """Exact integer constant with scale 1 (ref: ckks_encoder.h
+        encode_integer64_single): multiplying by it scales without noise."""
+        cd = self.context.get_context_data(parms_id or self.context.first_parms_id)
+        ints = [value] + [0] * (self.n - 1)
+        rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
+        data = NTT.ntt_forward(jnp.asarray(rns), cd.qtab())
+        return Plaintext(data, parms_id=cd.parms_id, scale=1.0, is_ntt_form=True)
+
     def decode_float64_polynomial(self, plain: Plaintext) -> np.ndarray:
         """Raw coefficient decode (inverse of encode_float64_polynomial)."""
         cd = self.context.get_context_data(plain.parms_id)

@@ -284,7 +284,7 @@ class Evaluator(LweOpsMixin):
         L_key = key_cd.coeff_modulus_size
         idx = list(range(L)) + [L_key - 1]
         ktab = key_cd.qtab()
-        otab = {k: v[jnp.asarray(idx)] for k, v in ktab.items()}
+        otab = NTT.take_tables(ktab, idx)
         q_sp = key_cd.parms.coeff_modulus[-1].value
         q_values = [m.value for m in cd.parms.coeff_modulus]
         inv = np.array([numth.invert_mod(q_sp % q, q) for q in q_values], np.uint32)
@@ -294,7 +294,7 @@ class Evaluator(LweOpsMixin):
         cache = dict(
             idx=idx,
             otab=otab,
-            sp_tab={k: v[L_key - 1 :] for k, v in ktab.items()},
+            sp_tab=NTT.slice_tables(ktab, L_key - 1, L_key),
             q_sp=q_sp,
             sp_half=U.u32(q_sp >> 1),
             sp_half_mod_q=jnp.asarray(

@@ -43,16 +43,17 @@ class NTTTables:
       q, ratio_hi, ratio_lo        (L,)    modulus + Barrett ratio words
     """
 
-    _row_cache: dict = {}  # (log_n, q) -> per-modulus row dict (class-level)
+    _row_cache: dict = {}  # (log_n, q, psi) -> per-modulus row dict
 
     @classmethod
-    def _rows(cls, log_n: int, mod: Modulus) -> dict:
-        key = (log_n, mod.value)
+    def _rows(cls, log_n: int, mod: Modulus, psi: int | None = None) -> dict:
+        key = (log_n, mod.value, psi)
         if key in cls._row_cache:
             return cls._row_cache[key]
         n = 1 << log_n
         q = mod.value
-        psi = numth.try_minimal_primitive_root(2 * n, q)
+        if psi is None:
+            psi = numth.try_minimal_primitive_root(2 * n, q)
         if psi is None:
             raise ValueError(
                 f"[NTTTables] modulus {q} does not support NTT of degree {n}"
@@ -112,10 +113,80 @@ class NTTTables:
         self._device: dict | None = None
 
     def pack(self) -> dict:
-        """Device pytree of all tables (uploaded lazily, cached)."""
+        """Device pytree of all tables (uploaded lazily, cached).  When the
+        MXU backend is enabled (set_ntt_backend), the 4-step matmul tables
+        are merged in under mxu_* keys and ntt_forward/ntt_inverse dispatch
+        to the MXU path."""
         if self._device is None:
             self._device = {k: jnp.asarray(v) for k, v in self._host.items()}
+            if _BACKEND == "mxu" and self.log_n >= _MXU_MIN_LOG_N:
+                from .ntt_mxu import MxuNTTTables
+
+                mxu = MxuNTTTables(self.log_n, self.moduli)
+                self._device.update(mxu.pack_prefixed())
+            elif _BACKEND == "sixstep" and self.log_n >= _MXU_MIN_LOG_N:
+                self._device.update(self._sixstep_pack())
         return self._device
+
+    def _sixstep_pack(self) -> dict:
+        """Tables for the six-step transform (see ntt_forward_sixstep):
+        the global negacyclic NTT with root psi factorizes into a size-n1
+        negacyclic NTT with root psi^n2 along the matrix row axis, a twiddle
+        (with the second-stage twist pre-cancelled), and a size-n2 negacyclic
+        NTT with root psi^n1 along the column axis (after a transpose)."""
+        log_n = self.log_n
+        n = self.n
+        a = log_n // 2
+        b = log_n - a
+        n1, n2 = 1 << a, 1 << b
+        L = len(self.moduli)
+
+        def stack(rows_list, key):
+            return np.stack([r[key] for r in rows_list])
+
+        rows1, rows2 = [], []
+        T = np.zeros((L, n1, n2), dtype=np.uint32)
+        Ti = np.zeros((L, n1, n2), dtype=np.uint32)
+        T_sh = np.zeros((L, n1, n2), dtype=np.uint32)
+        Ti_sh = np.zeros((L, n1, n2), dtype=np.uint32)
+        for l, mod in enumerate(self.moduli):
+            q = mod.value
+            psi = numth.try_minimal_primitive_root(2 * n, q)
+            psi1 = pow(psi, n2, q)
+            psi2 = pow(psi, n1, q)
+            rows1.append(self._rows(a, mod, psi1))
+            rows2.append(self._rows(b, mod, psi2))
+            # T'[k1', i2] = psi^i2 * w^(i2*brv_a(k1')) * psi^(-n1*i2),
+            # w = psi^2  (stage-2 twist of the 4-step, minus the negacyclic
+            # twist that the second sub-NTT will re-apply)
+            w = psi * psi % q
+            ipsi = numth.invert_mod(psi, q)
+            base_row = [pow(psi, i2, q) * pow(ipsi, n1 * i2 % (2 * n), q) % q
+                        for i2 in range(n2)]
+            for k1p in range(n1):
+                k1 = numth.reverse_bits(k1p, a)
+                step = pow(w, k1, q)
+                v = 1
+                for i2 in range(n2):
+                    tv = base_row[i2] * v % q
+                    T[l, k1p, i2] = tv
+                    Ti[l, k1p, i2] = numth.invert_mod(tv, q)
+                    T_sh[l, k1p, i2] = (tv << 32) // q
+                    Ti_sh[l, k1p, i2] = (int(Ti[l, k1p, i2]) << 32) // q
+                    v = v * step % q
+        out = {}
+        for key in ("psi_br", "psi_br_shoup", "inv_psi_br", "inv_psi_br_shoup"):
+            out[f"ss1_{key}"] = jnp.asarray(stack(rows1, key))
+            out[f"ss2_{key}"] = jnp.asarray(stack(rows2, key))
+        out["ss1_n_inv"] = jnp.asarray(np.stack([r["n_inv"] for r in rows1]))
+        out["ss1_n_inv_shoup"] = jnp.asarray(np.stack([r["n_inv_shoup"] for r in rows1]))
+        out["ss2_n_inv"] = jnp.asarray(np.stack([r["n_inv"] for r in rows2]))
+        out["ss2_n_inv_shoup"] = jnp.asarray(np.stack([r["n_inv_shoup"] for r in rows2]))
+        out["ss_T"] = jnp.asarray(T)
+        out["ss_T_shoup"] = jnp.asarray(T_sh)
+        out["ss_Ti"] = jnp.asarray(Ti)
+        out["ss_Ti_shoup"] = jnp.asarray(Ti_sh)
+        return out
 
     @property
     def host(self) -> dict:
@@ -128,9 +199,145 @@ class NTTTables:
 # module-level jitted wrappers are provided for direct use.
 # ---------------------------------------------------------------------------
 
+import os
+
+# 'sixstep' is the default: bit-identical to radix2, ~2.5x faster end-to-end
+# on TPU (full 128-lane utilization in every butterfly stage), and faster on
+# CPU as well.  radix2 remains for n < 256 and as the reference oracle.
+_BACKEND = os.environ.get("TROY_NTT_BACKEND", "sixstep")
+_MXU_MIN_LOG_N = 8
+
+
+def set_ntt_backend(name: str):
+    """'radix2' (reshape+VPU butterflies), 'mxu' (4-step matmul,
+    ops/ntt_mxu.py) or 'sixstep' (lane-optimal radix-2 over a matrix view).
+    Affects table packs built afterwards."""
+    global _BACKEND
+    if name not in ("radix2", "mxu", "sixstep"):
+        raise ValueError(f"[set_ntt_backend] unknown backend {name}")
+    _BACKEND = name
+
+
+def slice_tables(t: dict, lo: int, hi: int) -> dict:
+    """Restrict a table pack to limb rows [lo, hi) — aware of the per-key
+    limb axis of the mxu_* entries."""
+    from .ntt_mxu import MXU_LIMB_AXIS
+
+    out = {}
+    for k, v in t.items():
+        axis = MXU_LIMB_AXIS.get(k, 0)
+        if axis == 0:
+            out[k] = v[lo:hi]
+        else:
+            out[k] = jax.lax.slice_in_dim(v, lo, hi, axis=axis)
+    return out
+
+
+def take_tables(t: dict, idx) -> dict:
+    """Gather arbitrary limb rows of a table pack (mxu-axis aware)."""
+    from .ntt_mxu import MXU_LIMB_AXIS
+
+    idx = jnp.asarray(idx)
+    return {k: jnp.take(v, idx, axis=MXU_LIMB_AXIS.get(k, 0))
+            for k, v in t.items()}
+
+
+def _axis2_butterflies_forward(x, psi_br, psi_br_shoup, q):
+    """CT butterflies pairing along axis -2 of (..., L, N, M); the last axis
+    M rides the 128-lane dimension at full utilization in every stage."""
+    N, M = x.shape[-2], x.shape[-1]
+    lead = x.shape[:-3]
+    L = x.shape[-3]
+    qb = q.reshape((1,) * len(lead) + (L, 1, 1, 1))
+    two_q = qb * U.U32(2)
+    m, tt = 1, N // 2
+    while m < N:
+        xr = x.reshape(lead + (L, m, 2, tt, M))
+        u = xr[..., 0, :, :]
+        v = xr[..., 1, :, :]
+        w = jax.lax.slice_in_dim(psi_br, m, 2 * m, axis=1)[:, :, None, None]
+        ws = jax.lax.slice_in_dim(psi_br_shoup, m, 2 * m, axis=1)[:, :, None, None]
+        tv = U.shoup_mul_lazy(v, w, ws, qb)
+        x0 = U.cond_sub(u + tv, two_q)
+        x1 = U.cond_sub(u + two_q - tv, two_q)
+        x = jnp.stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
+        m *= 2
+        tt //= 2
+    return U.cond_sub(x, q.reshape((1,) * len(lead) + (L, 1, 1)))
+
+
+def _axis2_butterflies_inverse(x, inv_psi_br, inv_psi_br_shoup, n_inv,
+                               n_inv_shoup, q):
+    N, M = x.shape[-2], x.shape[-1]
+    lead = x.shape[:-3]
+    L = x.shape[-3]
+    qb = q.reshape((1,) * len(lead) + (L, 1, 1, 1))
+    two_q = qb * U.U32(2)
+    m, tt = N // 2, 1
+    while m >= 1:
+        xr = x.reshape(lead + (L, m, 2, tt, M))
+        u = xr[..., 0, :, :]
+        v = xr[..., 1, :, :]
+        w = jax.lax.slice_in_dim(inv_psi_br, m, 2 * m, axis=1)[:, :, None, None]
+        ws = jax.lax.slice_in_dim(inv_psi_br_shoup, m, 2 * m, axis=1)[:, :, None, None]
+        x0 = U.cond_sub(u + v, two_q)
+        x1 = U.shoup_mul_lazy(u + two_q - v, w, ws, qb)
+        x = jnp.stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
+        m //= 2
+        tt *= 2
+    qf = q.reshape((1,) * len(lead) + (L, 1, 1))
+    return U.shoup_mul(x, n_inv[:, None, None], n_inv_shoup[:, None, None], qf)
+
+
+def ntt_forward_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
+    """Six-step forward NTT: NTT_n1 along the row axis, twiddle, transpose,
+    NTT_n2 along the row axis, transpose back.  Bit-identical to the radix-2
+    path; every butterfly stage runs with a full 128-lane last axis."""
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    lead = x.shape[:-1]
+    q = t["q"]
+    X = x.reshape(lead + (n1, n2))
+    X = _axis2_butterflies_forward(X, t["ss1_psi_br"], t["ss1_psi_br_shoup"], q)
+    qb = q[:, None, None]
+    X = U.shoup_mul(X, t["ss_T"], t["ss_T_shoup"], qb)
+    X = jnp.swapaxes(X, -1, -2)
+    X = _axis2_butterflies_forward(X, t["ss2_psi_br"], t["ss2_psi_br_shoup"], q)
+    X = jnp.swapaxes(X, -1, -2)
+    return X.reshape(lead + (n,))
+
+
+def ntt_inverse_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    lead = x.shape[:-1]
+    q = t["q"]
+    X = x.reshape(lead + (n1, n2))
+    X = jnp.swapaxes(X, -1, -2)
+    X = _axis2_butterflies_inverse(X, t["ss2_inv_psi_br"], t["ss2_inv_psi_br_shoup"],
+                                   t["ss2_n_inv"], t["ss2_n_inv_shoup"], q)
+    X = jnp.swapaxes(X, -1, -2)
+    qb = q[:, None, None]
+    X = U.shoup_mul(X, t["ss_Ti"], t["ss_Ti_shoup"], qb)
+    X = _axis2_butterflies_inverse(X, t["ss1_inv_psi_br"], t["ss1_inv_psi_br_shoup"],
+                                   t["ss1_n_inv"], t["ss1_n_inv_shoup"], q)
+    return X.reshape(lead + (n,))
+
+
 def ntt_forward(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     """Forward negacyclic NTT along the last axis. In: [0,q) natural order;
-    out: [0,q) NTT order (ref: fgk/ntt_grouped.cu:33-295)."""
+    out: [0,q) NTT order (ref: fgk/ntt_grouped.cu:33-295).  Dispatches to the
+    MXU 4-step / six-step paths when the pack carries their tables."""
+    if "mxu_W1" in t:
+        from .ntt_mxu import ntt_forward_mxu
+
+        return ntt_forward_mxu(x, t, prefix="mxu_")
+    if "ss_T" in t:
+        return ntt_forward_sixstep(x, t)
     n = x.shape[-1]
     L = x.shape[-2]
     lead = x.shape[:-2]
@@ -156,6 +363,12 @@ def ntt_forward(x: jnp.ndarray, t: dict) -> jnp.ndarray:
 def ntt_inverse(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     """Inverse negacyclic NTT along the last axis. In: [0,q) NTT order;
     out: [0,q) natural order, scaled by n^-1."""
+    if "mxu_W1i" in t:
+        from .ntt_mxu import ntt_inverse_mxu
+
+        return ntt_inverse_mxu(x, t, prefix="mxu_")
+    if "ss_Ti" in t:
+        return ntt_inverse_sixstep(x, t)
     n = x.shape[-1]
     L = x.shape[-2]
     lead = x.shape[:-2]

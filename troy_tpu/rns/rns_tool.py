@@ -300,8 +300,8 @@ class RNSTool:
         from ..ops import ntt as NTT
 
         L = self.base_q.size
-        last_tab = {k: v[L - 1 :] for k, v in qtab.items()}
-        down_tab = {k: v[: L - 1] for k, v in qtab.items()}
+        last_tab = NTT.slice_tables(qtab, L - 1, L)
+        down_tab = NTT.slice_tables(qtab, 0, L - 1)
         last = NTT.ntt_inverse(x[..., -1:, :], last_tab)
         q_last = U.u32(self.base_q.values[-1])
         last_plus = U.add_mod(last, self.q_last_half, q_last)
@@ -327,8 +327,8 @@ class RNSTool:
         L = self.base_q.size
         tv = self.t.value
         q_last_v = self.base_q.values[-1]
-        last_tab = {k: v[L - 1 :] for k, v in qtab.items()}
-        down_tab = {k: v[: L - 1] for k, v in qtab.items()}
+        last_tab = NTT.slice_tables(qtab, L - 1, L)
+        down_tab = NTT.slice_tables(qtab, 0, L - 1)
         last = NTT.ntt_inverse(x[..., -1:, :], last_tab)  # r = [x]_{q_last}, [0, q_last)
         # center r, then delta = t * [r * t^-1]_{q_last} reconstructed per limb:
         # delta ≡ r (mod q_last), delta ≡ 0 (mod t), |delta| <= t * q_last.
