@@ -345,13 +345,14 @@ class Evaluator(LweOpsMixin):
         x = jnp.broadcast_to(target_coeff[..., :, None, :], lead + (L, O, n))
         D = P.modulo(x, otab)
         D = NTT.ntt_forward(D, otab)
-        # inner product with keys over decomposition primes
+        # inner product with keys over decomposition primes: wide (hi, lo)
+        # accumulation, one Barrett per output (ref: kernel_ski_util1's
+        # 128-bit lazy accumulation)
         keys_sel = keys[:L][:, :, jnp.asarray(sw["idx"]), :]  # (L, 2, O, n)
         q = otab["q"][:, None]
-        acc = None
-        for i in range(L):
-            term = P.dyadic_product(D[..., i, None, :, :], keys_sel[i], otab)
-            acc = term if acc is None else U.add_mod(acc, term, q)
+        pairs = [(D[..., i, None, :, :], keys_sel[i]) for i in range(L)]
+        acc = U.dot_mod(pairs, q, otab["ratio_hi"][:, None],
+                        otab["ratio_lo"][:, None])
         # acc: (..., 2, O, n); divide by the special prime (NTT-domain)
         sp_tab = sw["sp_tab"]
         last = NTT.ntt_inverse(acc[..., :, L:, :], sp_tab)     # (..., 2, 1, n)

@@ -143,3 +143,31 @@ def shoup_mul_lazy(x, w, w_shoup, q):
 def shoup_mul(x, w, w_shoup, q):
     """x * w mod q in [0, q)."""
     return cond_sub(shoup_mul_lazy(x, w, w_shoup, q), q)
+
+
+# ---------------------------------------------------------------------------
+# Wide (64-bit pair) accumulation of products — the dot-product primitive for
+# base conversion and keyswitch inner products (ref: kernel_ski_util1's
+# 128-bit lazy accumulation, evaluator_keyswitching_core.cu; at our 30-bit
+# limb width a 64-bit accumulator holds up to 16 products exactly).
+# ---------------------------------------------------------------------------
+
+WIDE_ACC_MAX_TERMS = 16  # 16 * (2^30-1)^2 < 2^64
+
+
+def dot_mod(pairs, q, ratio_hi, ratio_lo):
+    """sum_i a_i * b_i mod q for a list of (a, b) u32 array pairs with values
+    < 2^30, one Barrett per output element.  Chunks of WIDE_ACC_MAX_TERMS
+    accumulate exactly in (hi, lo) u32 pairs."""
+    total = None
+    for start in range(0, len(pairs), WIDE_ACC_MAX_TERMS):
+        hi = lo = None
+        for a, b in pairs[start : start + WIDE_ACC_MAX_TERMS]:
+            phi, plo = mul32_wide(a, b)
+            if hi is None:
+                hi, lo = phi, plo
+            else:
+                hi, lo = add64(hi, lo, phi, plo)
+        part = barrett_reduce_u64(hi, lo, q, ratio_hi, ratio_lo)
+        total = part if total is None else add_mod(total, part, q)
+    return total

@@ -133,14 +133,13 @@ class BaseConverter:
         p = op["q"].reshape(lead + (-1, 1))
         p_hi = op["ratio_hi"].reshape(lead + (-1, 1))
         p_lo = op["ratio_lo"].reshape(lead + (-1, 1))
-        acc = None
-        for i in range(self.ibase.size):
-            term = U.mul_mod(
-                tmp[..., i : i + 1, :], self._mat[:, i].reshape(lead + (-1, 1)),
-                p, p_hi, p_lo,
-            )
-            acc = term if acc is None else U.add_mod(acc, term, p)
-        return acc
+        # wide (hi, lo) accumulation: one Barrett per output element instead
+        # of one per (i, j) term
+        pairs = [
+            (tmp[..., i : i + 1, :], self._mat[:, i].reshape(lead + (-1, 1)))
+            for i in range(self.ibase.size)
+        ]
+        return U.dot_mod(pairs, p, p_hi, p_lo)
 
     def convert_single_limb(self, x: jnp.ndarray) -> jnp.ndarray:
         """Shortcut when the target base has one modulus — returns (..., 1, n)."""
