@@ -116,7 +116,15 @@ class Encryptor:
             c0 = U.add_mod(ct.data[0], m, q)
             ct.scale = plain.scale
         elif scheme == SchemeType.BGV:
-            m = NTT.ntt_forward(_centralize_bgv(cd, plain.data[0]), qtab)
+            pm = plain.data[0]
+            if ct.correction_factor != 1:
+                # special-prime encryption divided the phase by q_special:
+                # scale the payload to match (ref: encryptor.cu BGV path)
+                t = cd.parms.plain_modulus
+                pm = U.mul_mod(pm, U.u32(ct.correction_factor % t.value),
+                               U.u32(t.value), U.u32(t.ratio64_hi),
+                               U.u32(t.ratio64_lo))
+            m = NTT.ntt_forward(_centralize_bgv(cd, pm), qtab)
             c0 = U.add_mod(ct.data[0], m, q)
         else:
             raise ValueError("[Encryptor] unsupported scheme")
