@@ -41,6 +41,26 @@ def test_homomorphic_add():
         enc.decrypt_scale_down(h.decryptor, s2), (m1 + m2) & mask)
 
 
+def test_wide_k_roundtrip_and_add():
+    """k > 31: host big-int path (reference u64/u128 instantiations).
+    k=100 needs a wider modulus chain (Q_first must exceed 2^k by the noise
+    margin)."""
+    for k in (48, 64, 100):
+        h = GeneralHeContext("BFV", 32, log_t=20,
+                             q_bits=(30,) * (6 if k > 60 else 4))
+        enc = PolynomialEncoderRing2k(h.context, k)
+        mask = (1 << k) - 1
+        m1 = [int.from_bytes(RNG.bytes(16), "little") & mask for _ in range(h.n)]
+        m2 = [int.from_bytes(RNG.bytes(16), "little") & mask for _ in range(h.n)]
+        ct1 = h.encryptor.encrypt_asymmetric(enc.scale_up(m1))
+        out = enc.decrypt_scale_down(h.decryptor, ct1)
+        assert all(int(o) == m for o, m in zip(out, m1)), f"k={k} roundtrip"
+        s = h.evaluator.add_plain(ct1, enc.scale_up(m2))
+        out2 = enc.decrypt_scale_down(h.decryptor, s)
+        assert all(int(o) == (a + b) & mask
+                   for o, a, b in zip(out2, m1, m2)), f"k={k} add"
+
+
 def test_multiply_centralized_plain():
     k = 16
     h, enc = make(k)

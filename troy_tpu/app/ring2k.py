@@ -128,13 +128,17 @@ class _Ring2kLevelHelper:
 
 
 class PolynomialEncoderRing2k:
-    """ref: bfv_ring2k.h PolynomialEncoderRing2k<T> (T = uint32 here)."""
+    """ref: bfv_ring2k.h PolynomialEncoderRing2k<T>.
+
+    k <= 31: fully device-resident u32 fast path (_Ring2kLevelHelper).
+    32 <= k <= 128: host big-int path (client-side encode/decode only; the
+    homomorphic server side is unchanged u32 RNS) — covers the reference's
+    u64/u128 template instantiations.
+    """
 
     def __init__(self, context: HeContext, k: int):
-        if not 2 <= k <= 31:
-            raise ValueError(
-                "[PolynomialEncoderRing2k] this build supports 2 <= k <= 31 "
-                "(u64/u128 message words planned; see module docstring)")
+        if not 2 <= k <= 128:
+            raise ValueError("[PolynomialEncoderRing2k] need 2 <= k <= 128")
         self.context = context
         self.k = k
         self.n = context.first_context_data().parms.poly_modulus_degree
@@ -153,19 +157,57 @@ class PolynomialEncoderRing2k:
         v[: len(arr)] = arr.astype(np.uint32)
         return jnp.asarray(v)
 
+    def _vec_int(self, values) -> list[int]:
+        mask = (1 << self.k) - 1
+        out = [0] * self.n
+        for i, v in enumerate(values):
+            out[i] = int(v) & mask
+        return out
+
     def scale_up(self, values, parms_id: ParmsID | None = None) -> Plaintext:
-        h = self.helper(parms_id)
-        return Plaintext(h.scale_up(self._vec(values)),
-                         parms_id=h.cd.parms_id, is_ntt_form=False)
+        if self.k <= 31:
+            h = self.helper(parms_id)
+            return Plaintext(h.scale_up(self._vec(values)),
+                             parms_id=h.cd.parms_id, is_ntt_form=False)
+        # host big-int path (ref: bfv_ring2k.cu u64/u128 instantiations)
+        pid = parms_id or self.context.first_parms_id
+        cd = self.context.get_context_data(pid)
+        Q = cd.base_q.prod
+        t = 1 << self.k
+        if Q >> self.k < (1 << 16):
+            raise ValueError(
+                f"[PolynomialEncoderRing2k] k={self.k} leaves under 16 bits "
+                f"of noise margin at this level (log Q = {Q.bit_length()})")
+        scaled = [(m * Q + t // 2) // t for m in self._vec_int(values)]
+        return Plaintext(jnp.asarray(cd.base_q.decompose_array_host(scaled)),
+                         parms_id=pid, is_ntt_form=False)
 
     def centralize(self, values, parms_id: ParmsID | None = None) -> Plaintext:
-        h = self.helper(parms_id)
-        return Plaintext(h.centralize(self._vec(values)),
-                         parms_id=h.cd.parms_id, is_ntt_form=False)
+        if self.k <= 31:
+            h = self.helper(parms_id)
+            return Plaintext(h.centralize(self._vec(values)),
+                             parms_id=h.cd.parms_id, is_ntt_form=False)
+        pid = parms_id or self.context.first_parms_id
+        cd = self.context.get_context_data(pid)
+        t = 1 << self.k
+        centered = [m - t if m >= t // 2 else m for m in self._vec_int(values)]
+        arr = np.empty((cd.base_q.size, self.n), dtype=np.uint32)
+        for i, q in enumerate(cd.base_q.values):
+            arr[i] = np.array([c % q for c in centered], dtype=np.uint32)
+        return Plaintext(jnp.asarray(arr), parms_id=pid, is_ntt_form=False)
 
     def scale_down(self, phase: Plaintext) -> np.ndarray:
-        h = self.helper(phase.parms_id)
-        return np.asarray(h.scale_down(phase.data)).astype(np.uint64)
+        if self.k <= 31:
+            h = self.helper(phase.parms_id)
+            return np.asarray(h.scale_down(phase.data)).astype(np.uint64)
+        cd = self.context.get_context_data(phase.parms_id)
+        Q = cd.base_q.prod
+        t = 1 << self.k
+        composed = cd.base_q.compose_array_host(np.asarray(phase.data))
+        out = [((v * t + Q // 2) // Q) % t for v in composed]
+        if self.k <= 64:
+            return np.array(out, dtype=np.uint64)
+        return np.array(out, dtype=object)
 
     def decrypt_scale_down(self, decryptor: Decryptor, ct: Ciphertext) -> np.ndarray:
         return self.scale_down(decryptor.bfv_decrypt_without_scaling_down(ct))
