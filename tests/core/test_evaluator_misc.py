@@ -1,0 +1,90 @@
+"""Coverage for the remaining evaluator API surface (plaintext utilities,
+translate, multiply_plain_accumulate, exponentiate, negacyclic_shift)."""
+
+import numpy as np
+
+from .fixtures import GeneralHeContext
+from troy_tpu.ops.galois import GaloisTool
+
+RNG = np.random.default_rng(2611)
+
+
+def make():
+    return GeneralHeContext("BFV", 32, log_t=20, q_bits=(30, 30, 30))
+
+
+def test_scale_up_centralize_roundtrip_forms():
+    h = make()
+    m = h.random_simd(RNG)
+    pt = h.encoder.encode(m)
+    pid = h.context.first_parms_id
+    up = h.evaluator.bfv_scale_up(pt, pid)
+    cent = h.evaluator.bfv_centralize(pt, pid)
+    assert up.coeff_modulus_size == cent.coeff_modulus_size == 2
+    # scale-up form adds into a zero ciphertext correctly
+    ct = h.encryptor.encrypt_zero_asymmetric()
+    np.testing.assert_array_equal(h.decrypt(h.evaluator.add_plain(ct, up)), m)
+
+
+def test_transform_plain_ntt_roundtrip():
+    h = make()
+    m = h.random_simd(RNG)
+    pid = h.context.first_parms_id
+    pt_ntt = h.evaluator.transform_plain_to_ntt(h.encoder.encode(m), pid)
+    assert pt_ntt.is_ntt_form
+    back = h.evaluator.transform_plain_from_ntt(pt_ntt)
+    assert not back.is_ntt_form
+    # multiply with the NTT-form plaintext still works
+    ct = h.encrypt(m)
+    out = h.decrypt(h.evaluator.multiply_plain(ct, pt_ntt))
+    np.testing.assert_array_equal(out, m * m % h.t)
+
+
+def test_apply_galois_plain_matches_ciphertext_path():
+    h = make()
+    glk = h.keygen.create_galois_keys_from_elements([3])
+    m = h.random_simd(RNG)
+    ct = h.encrypt(m)
+    rotated_ct = h.decrypt(h.evaluator.apply_galois(ct, 3, glk))
+    rotated_pt = h.encoder.decode(
+        h.evaluator.apply_galois_plain(h.encoder.encode(m), 3))
+    np.testing.assert_array_equal(rotated_ct, rotated_pt)
+
+
+def test_translate_and_accumulate():
+    h = make()
+    m1, m2 = h.random_simd(RNG), h.random_simd(RNG)
+    ct1, ct2 = h.encrypt(m1), h.encrypt(m2)
+    np.testing.assert_array_equal(
+        h.decrypt(h.evaluator.translate(ct1, ct2, subtract=True)),
+        (m1.astype(np.int64) - m2.astype(np.int64)) % h.t)
+    pts = [h.encoder.encode(m2)] * 2
+    accs = h.evaluator.multiply_plain_accumulate(
+        [ct1, ct1], pts, [None, ct2])
+    np.testing.assert_array_equal(h.decrypt(accs[0]), m1 * m2 % h.t)
+    np.testing.assert_array_equal(h.decrypt(accs[1]), (m1 * m2 + m2) % h.t)
+
+
+def test_exponentiate():
+    # two chained multiplications need a deeper modulus chain
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30,) * 6)
+    rlk = h.keygen.create_relin_keys()
+    m = h.random_simd(RNG)
+    ct = h.encrypt(m)
+    out = h.decrypt(h.evaluator.exponentiate(ct, 3, rlk))
+    np.testing.assert_array_equal(
+        out, np.array([pow(int(v), 3, h.t) for v in m], dtype=np.uint64))
+
+
+def test_negacyclic_shift_ct():
+    h = make()
+    coeffs = RNG.integers(0, h.t, h.n, dtype=np.uint64)
+    ct = h.encryptor.encrypt_asymmetric(h.encoder.encode_polynomial(coeffs))
+    out = h.encoder.decode_polynomial(
+        h.decryptor.decrypt(h.evaluator.negacyclic_shift(ct, 3)))
+    want = np.zeros(h.n, dtype=np.uint64)
+    for i in range(h.n):
+        j = (i + 3) % h.n
+        v = int(coeffs[i])
+        want[j] = v if i + 3 < h.n else (h.t - v) % h.t
+    np.testing.assert_array_equal(out, want)

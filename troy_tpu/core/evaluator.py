@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .context import HeContext, ContextData
-from .params import SchemeType, ParmsID
+from .params import SchemeType, ParmsID, PARMS_ID_ZERO
 from .plaintext import Plaintext
 from .ciphertext import Ciphertext
 from .keys import KSwitchKeys, RelinKeys, GaloisKeys
@@ -551,6 +551,76 @@ class Evaluator(LweOpsMixin):
         lifted = self._centralizer(cd).centralize(plain.data[0])
         return Plaintext(NTT.ntt_forward(lifted, cd.qtab()), parms_id=parms_id,
                          is_ntt_form=True, scale=plain.scale)
+
+    # ==================================================================
+    # plaintext utilities (ref: evaluator.h bfv_scale_up/bfv_centralize,
+    # transform_plain_from_ntt, apply_galois_plain, mod_switch_plain_to)
+    # ==================================================================
+    def bfv_scale_up(self, plain: Plaintext, parms_id: ParmsID) -> Plaintext:
+        """mod-t plaintext -> RNS scale-up form round(m*Q/t)."""
+        cd = self.context.get_context_data(parms_id)
+        return Plaintext(cd.scaler.scale_up(plain.data[0]), parms_id=parms_id)
+
+    def bfv_centralize(self, plain: Plaintext, parms_id: ParmsID) -> Plaintext:
+        """mod-t plaintext -> RNS centered-lift form."""
+        cd = self.context.get_context_data(parms_id)
+        return Plaintext(self._centralizer(cd).centralize(plain.data[0]),
+                         parms_id=parms_id)
+
+    def transform_plain_from_ntt(self, plain: Plaintext) -> Plaintext:
+        """(ref: evaluator_transform_ntt.cu transform_plain_from_ntt)"""
+        if not plain.is_ntt_form:
+            raise ValueError("[Evaluator.transform_plain_from_ntt] not NTT form")
+        cd = self._cd(plain)
+        return Plaintext(NTT.ntt_inverse(plain.data, cd.qtab()),
+                         parms_id=plain.parms_id, scale=plain.scale,
+                         is_ntt_form=False)
+
+    def apply_galois_plain(self, plain: Plaintext, galois_elt: int) -> Plaintext:
+        """Automorphism on a plaintext (ref: evaluator.h apply_galois_plain).
+        mod-t plaintexts permute with sign mod t; RNS plaintexts per limb."""
+        out = plain.clone()
+        if plain.parms_id == PARMS_ID_ZERO or plain.coeff_modulus_size == 1:
+            cd = self.context.first_context_data()
+            tool = GaloisTool.for_context(cd)
+            t = cd.parms.plain_modulus
+            ttab = {"q": jnp.asarray(np.array([t.value], dtype=np.uint32))}
+            out.data = tool.apply_coeff(plain.data, galois_elt, ttab)
+            return out
+        cd = self._cd(plain)
+        tool = GaloisTool.for_context(cd)
+        if plain.is_ntt_form:
+            out.data = tool.apply_ntt(plain.data, galois_elt)
+        else:
+            out.data = tool.apply_coeff(plain.data, galois_elt, cd.qtab())
+        return out
+
+    def mod_switch_plain_to(self, plain: Plaintext, parms_id: ParmsID) -> Plaintext:
+        """Walk an NTT-form (CKKS) plaintext down the chain."""
+        cur = plain
+        while cur.parms_id != parms_id:
+            cur = self.mod_switch_plain_to_next(cur)
+        return cur
+
+    def multiply_plain_accumulate(self, cts: list[Ciphertext],
+                                  plains: list[Plaintext],
+                                  accs: list[Ciphertext | None]) -> list[Ciphertext]:
+        """acc_i += ct_i * plain_i (ref: evaluator.h multiply_plain_accumulate,
+        the matmul inner-loop primitive)."""
+        out = []
+        for ct, pt, acc in zip(cts, plains, accs):
+            prod = self.multiply_plain(ct, pt)
+            out.append(prod if acc is None else self.add(acc, prod))
+        return out
+
+    def translate(self, ct1: Ciphertext, ct2: Ciphertext,
+                  subtract: bool = False) -> Ciphertext:
+        """add or sub by flag (ref: evaluator.h translate_inplace)."""
+        return self.sub(ct1, ct2) if subtract else self.add(ct1, ct2)
+
+    def translate_plain(self, ct: Ciphertext, plain: Plaintext,
+                        subtract: bool = False) -> Ciphertext:
+        return self.sub_plain(ct, plain) if subtract else self.add_plain(ct, plain)
 
     # ==================================================================
     # misc (ref: evaluator.h inline helpers)
