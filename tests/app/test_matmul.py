@@ -66,6 +66,31 @@ def test_ckks_matmul():
     np.testing.assert_allclose(dec, x @ w, atol=1e-2)
 
 
+def test_matmul_output_serialization():
+    """Server->client wire: sparse save_terms shrinks unpacked outputs."""
+    from troy_tpu.utils import serialize as S
+
+    n = 64
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    batch, in_d, out_d = 2, 4, 3
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptLeft, pack_lwe=False)
+    x = RNG.integers(0, h.t, size=(batch, in_d), dtype=np.uint64)
+    w = RNG.integers(0, h.t, size=(in_d, out_d), dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    w_blobs = helper.serialize_encoded_weights(helper.encode_weights(adapter, w))
+    w_enc = helper.deserialize_encoded_weights(w_blobs)
+    y = helper.matmul(h.evaluator, x_enc, w_enc)
+    blobs = helper.serialize_outputs(h.context, y, S.CompressionMode.Zstd)
+    full = [S.save_ciphertext(c, h.context) for row in y.data for c in row]
+    assert sum(map(len, blobs)) < sum(map(len, full))
+    y2 = helper.deserialize_outputs(h.context, blobs)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y2)
+    want = (x.astype(object) @ w.astype(object)) % h.t
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)
+
+
 def test_bfv_matmul_encrypt_right():
     n = 64
     h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))

@@ -274,6 +274,57 @@ class MatmulHelper:
         ]
         return Cipher2d([out])
 
+    # ------------------------------------------------------------------
+    # wire format (ref: matmul.cu serialize_outputs / deserialize_outputs:
+    # sparse save_terms for unpacked outputs, full save for packed)
+    # ------------------------------------------------------------------
+    def _required_terms(self):
+        """Per (di, dj) block: the coefficient indices carrying outputs."""
+        bb, ob, ib = self.batch_block, self.output_block, self.input_block
+        blocks = []
+        for li in range(0, self.batch_size, bb):
+            ui = min(li + bb, self.batch_size)
+            for lj in range(0, self.output_dims, ob):
+                uj = min(lj + ob, self.output_dims)
+                terms = [self._out_pos(i, j, li, lj)
+                         for i in range(li, ui) for j in range(lj, uj)]
+                blocks.append(terms)
+        return blocks
+
+    def serialize_outputs(self, context, outputs: Cipher2d, mode=None) -> list[bytes]:
+        from ..utils import serialize as S
+
+        mode = mode if mode is not None else S.CompressionMode.Nil
+        if self.pack_lwe:
+            return [S.save_ciphertext(c, context, mode) for c in outputs[0]]
+        flat = [c for row in outputs.data for c in row]
+        return [S.save_ciphertext(c, context, mode, terms=t)
+                for c, t in zip(flat, self._required_terms())]
+
+    def deserialize_outputs(self, context, blobs: list[bytes]) -> Cipher2d:
+        from ..utils import serialize as S
+
+        cts = [S.load_ciphertext(b, context) for b in blobs]
+        if self.pack_lwe:
+            return Cipher2d([cts])
+        obc = ceil_div(self.output_dims, self.output_block)
+        return Cipher2d([cts[i : i + obc] for i in range(0, len(cts), obc)])
+
+    def serialize_encoded_weights(self, w: Plain2d, mode=None) -> list[bytes]:
+        from ..utils import serialize as S
+
+        mode = mode if mode is not None else S.CompressionMode.Nil
+        return [S.save_plaintext(p, mode) for row in w.data for p in row]
+
+    def deserialize_encoded_weights(self, blobs: list[bytes]) -> Plain2d:
+        from ..utils import serialize as S
+
+        pts = [S.load_plaintext(b) for b in blobs]
+        ibc = ceil_div(self.input_dims, self.input_block)
+        obc = ceil_div(self.output_dims, self.output_block)
+        assert len(pts) == ibc * obc
+        return Plain2d([pts[i : i + obc] for i in range(0, len(pts), obc)])
+
     def decrypt_outputs(self, adapter, decryptor: Decryptor,
                         outputs: Cipher2d) -> np.ndarray:
         bb, ob, ib = self.batch_block, self.output_block, self.input_block
