@@ -143,9 +143,13 @@ def main():
     if not (got == expected).all():
         raise AssertionError("[bench] device output mismatches CPU reference")
     _log("compiled + verified; timing...")
+    # chain iterations (output feeds back as input) so the runtime cannot
+    # dedupe or overlap identical computations
     t0 = time.perf_counter()
-    outs = [fn(d1, d2, keys) for _ in range(REPS)]
-    jax.block_until_ready(outs)
+    cur = d1
+    for _ in range(REPS):
+        cur = fn(cur, d2, keys)
+    jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
     ops_per_sec = BATCH * REPS / dt
     _log(f"{dt*1e3/REPS:.3f} ms per batched step")

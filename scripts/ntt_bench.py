@@ -46,17 +46,23 @@ def main():
     print("device:", dev)
     xj = jax.device_put(xj, dev)
 
+    from troy_tpu.ops.ntt_pallas import ntt_forward_pallas
+
     for name, fn, pack in [
         ("radix2", ntt_forward, rpack),
         ("sixstep", ntt_forward_sixstep, sspack),
         ("mxu", lambda a, t: ntt_forward_mxu(a, t), mpack),
+        ("pallas", ntt_forward_pallas, sspack),
     ]:
         jfn = jax.jit(lambda a, t=pack, f=fn: f(a, t))
         out = jfn(xj)
         jax.block_until_ready(out)
+        # chain iterations (out feeds back in) so the runtime cannot dedupe
+        # or overlap identical computations
         t0 = time.perf_counter()
+        out = xj
         for _ in range(reps):
-            out = jfn(xj)
+            out = jfn(out)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         per_poly_ns = dt / (B * L) * (1 << 14) / n * 1e9

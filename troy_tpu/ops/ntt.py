@@ -124,8 +124,10 @@ class NTTTables:
 
                 mxu = MxuNTTTables(self.log_n, self.moduli)
                 self._device.update(mxu.pack_prefixed())
-            elif _BACKEND == "sixstep" and self.log_n >= _MXU_MIN_LOG_N:
+            elif _BACKEND in ("sixstep", "pallas") and self.log_n >= _MXU_MIN_LOG_N:
                 self._device.update(self._sixstep_pack())
+                if _BACKEND == "pallas":
+                    self._device["use_pallas"] = True
         return self._device
 
     def _sixstep_pack(self) -> dict:
@@ -225,6 +227,9 @@ def slice_tables(t: dict, lo: int, hi: int) -> dict:
 
     out = {}
     for k, v in t.items():
+        if not hasattr(v, "ndim"):  # flags like use_pallas pass through
+            out[k] = v
+            continue
         axis = MXU_LIMB_AXIS.get(k, 0)
         if axis == 0:
             out[k] = v[lo:hi]
@@ -238,7 +243,8 @@ def take_tables(t: dict, idx) -> dict:
     from .ntt_mxu import MXU_LIMB_AXIS
 
     idx = jnp.asarray(idx)
-    return {k: jnp.take(v, idx, axis=MXU_LIMB_AXIS.get(k, 0))
+    return {k: (jnp.take(v, idx, axis=MXU_LIMB_AXIS.get(k, 0))
+                if hasattr(v, "ndim") else v)
             for k, v in t.items()}
 
 
@@ -337,6 +343,10 @@ def ntt_forward(x: jnp.ndarray, t: dict) -> jnp.ndarray:
 
         return ntt_forward_mxu(x, t, prefix="mxu_")
     if "ss_T" in t:
+        if t.get("use_pallas") and jax.default_backend() != "cpu":
+            from .ntt_pallas import ntt_forward_pallas
+
+            return ntt_forward_pallas(x, t)
         return ntt_forward_sixstep(x, t)
     n = x.shape[-1]
     L = x.shape[-2]
@@ -368,6 +378,10 @@ def ntt_inverse(x: jnp.ndarray, t: dict) -> jnp.ndarray:
 
         return ntt_inverse_mxu(x, t, prefix="mxu_")
     if "ss_Ti" in t:
+        if t.get("use_pallas") and jax.default_backend() != "cpu":
+            from .ntt_pallas import ntt_inverse_pallas
+
+            return ntt_inverse_pallas(x, t)
         return ntt_inverse_sixstep(x, t)
     n = x.shape[-1]
     L = x.shape[-2]

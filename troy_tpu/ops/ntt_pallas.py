@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: fully-fused negacyclic NTT.
+
+The XLA six-step path (ops/ntt.py) materializes the polynomial to HBM after
+every butterfly stage (~log n round trips).  This kernel keeps the whole
+(L, n1, n2) block resident in VMEM across ALL stages — one HBM read + one
+HBM write per transform — with the same six-step structure:
+
+  stage A: radix-2 butterflies on the per-limb flat view, pair stride >= n2
+           (full lanes at every stage),
+  twiddle: elementwise T (stage-2 twist pre-cancelled),
+  stage B: transpose in VMEM, radix-2 on the flat transposed view, transpose
+           back.
+
+Grid: one program per batch element; each program transforms all L limbs.
+Bit-identical to ops/ntt.py (same tables, same scrambled output order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import u32 as U
+
+
+def _row_butterflies_forward(x, psi, psi_sh, q3, two_q, L, N, M):
+    """x: (L, N, M) u32; CT butterflies pairing blocks of rows (axis -2) —
+    reshape-free (Mosaic cannot relayout cross-lane reshapes), fully
+    unrolled: row slices + one concatenate per stage.  psi: (L, N)."""
+    m, t = 1, N // 2
+    while m < N:
+        pieces = []
+        for i in range(m):
+            u = x[:, 2 * i * t : (2 * i + 1) * t, :]
+            v = x[:, (2 * i + 1) * t : (2 * i + 2) * t, :]
+            w = psi[:, m + i][:, None, None]
+            ws = psi_sh[:, m + i][:, None, None]
+            tv = U.shoup_mul_lazy(v, w, ws, q3)
+            pieces.append(U.cond_sub(u + tv, two_q))
+            pieces.append(U.cond_sub(u + two_q - tv, two_q))
+        x = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        m *= 2
+        t //= 2
+    return U.cond_sub(x, q3)
+
+
+def _row_butterflies_inverse(x, ipsi, ipsi_sh, n_inv, n_inv_sh, q3, two_q,
+                             L, N, M):
+    m, t = N // 2, 1
+    while m >= 1:
+        pieces = []
+        for i in range(m):
+            u = x[:, 2 * i * t : (2 * i + 1) * t, :]
+            v = x[:, (2 * i + 1) * t : (2 * i + 2) * t, :]
+            w = ipsi[:, m + i][:, None, None]
+            ws = ipsi_sh[:, m + i][:, None, None]
+            pieces.append(U.cond_sub(u + v, two_q))
+            pieces.append(U.shoup_mul_lazy(u + two_q - v, w, ws, q3))
+        x = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        m //= 2
+        t *= 2
+    return U.shoup_mul(x, n_inv[:, :, None], n_inv_sh[:, :, None], q3)
+
+
+def _fwd_kernel(q_ref, p1_ref, p1s_ref, t_ref, ts_ref, p2_ref, p2s_ref,
+                x_ref, o_ref, *, n1, n2):
+    L = q_ref.shape[0]
+    q3 = q_ref[...][:, :, None]           # (L, 1, 1)
+    two_q = q3 * U.U32(2)
+    x = x_ref[0]                          # (L, n1, n2), no reshapes in-kernel
+    x = _row_butterflies_forward(x, p1_ref[...], p1s_ref[...], q3, two_q,
+                                 L, n1, n2)
+    x = U.shoup_mul(x, t_ref[...], ts_ref[...], q3)
+    x = x.transpose(0, 2, 1)
+    x = _row_butterflies_forward(x, p2_ref[...], p2s_ref[...], q3, two_q,
+                                 L, n2, n1)
+    o_ref[...] = x.transpose(0, 2, 1)[None]
+
+
+def _inv_kernel(q_ref, p1_ref, p1s_ref, ni1_ref, ni1s_ref, t_ref, ts_ref,
+                p2_ref, p2s_ref, ni2_ref, ni2s_ref, x_ref, o_ref, *, n1, n2):
+    L = q_ref.shape[0]
+    q3 = q_ref[...][:, :, None]
+    two_q = q3 * U.U32(2)
+    x = x_ref[0]
+    x = x.transpose(0, 2, 1)
+    x = _row_butterflies_inverse(x, p2_ref[...], p2s_ref[...],
+                                 ni2_ref[...], ni2s_ref[...], q3, two_q,
+                                 L, n2, n1)
+    x = x.transpose(0, 2, 1)
+    x = U.shoup_mul(x, t_ref[...], ts_ref[...], q3)
+    x = _row_butterflies_inverse(x, p1_ref[...], p1s_ref[...],
+                                 ni1_ref[...], ni1s_ref[...], q3, two_q,
+                                 L, n1, n2)
+    o_ref[...] = x[None]
+
+
+def _specs(L, n, n1, n2, inverse):
+    full = lambda b: tuple([0] * 2)
+    tab1 = pl.BlockSpec((L, n1), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    tab2 = pl.BlockSpec((L, n2), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec((L, n1, n2), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+    # (L, 1) per-limb scalars live in VMEM: Mosaic only loads true scalars
+    # from SMEM, and these broadcast against (L, m, K) tiles anyway
+    scal = pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, L, n1, n2), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    if not inverse:
+        return [scal, tab1, tab1, tw, tw, tab2, tab2, xspec], xspec
+    return [scal, tab1, tab1, scal, scal, tw, tw, tab2, tab2, scal, scal,
+            xspec], xspec
+
+
+@functools.partial(jax.jit, static_argnames=("inverse",))
+def _ntt_pallas(x3, q, p1, p1s, ni1, ni1s, T, Ts, p2, p2s, ni2, ni2s,
+                inverse: bool):
+    B, L, n = x3.shape
+    n1 = p1.shape[1]
+    n2 = n // n1
+    in_specs, out_spec = _specs(L, n, n1, n2, inverse)
+    x3 = x3.reshape(B, L, n1, n2)
+    q2 = q.reshape(-1, 1)
+    ni1, ni1s = ni1.reshape(-1, 1), ni1s.reshape(-1, 1)
+    ni2, ni2s = ni2.reshape(-1, 1), ni2s.reshape(-1, 1)
+    if not inverse:
+        kern = functools.partial(_fwd_kernel, n1=n1, n2=n2)
+        args = (q2, p1, p1s, T, Ts, p2, p2s, x3)
+    else:
+        kern = functools.partial(_inv_kernel, n1=n1, n2=n2)
+        args = (q2, p1, p1s, ni1, ni1s, T, Ts, p2, p2s, ni2, ni2s, x3)
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L, n1, n2), jnp.uint32),
+        interpret=interpret,
+    )(*args).reshape(B, L, n)
+
+
+def ntt_forward_pallas(x: jnp.ndarray, t: dict) -> jnp.ndarray:
+    """x: (..., L, n) u32 -> NTT, bit-identical to ops/ntt.py paths.
+    Requires the sixstep (ss_*) tables in `t`."""
+    lead = x.shape[:-2]
+    L, n = x.shape[-2], x.shape[-1]
+    import numpy as _np
+
+    B = int(_np.prod(lead)) if lead else 1
+    x3 = x.reshape(B, L, n)
+    out = _ntt_pallas(
+        x3, t["q"], t["ss1_psi_br"], t["ss1_psi_br_shoup"],
+        t["ss1_n_inv"], t["ss1_n_inv_shoup"], t["ss_T"], t["ss_T_shoup"],
+        t["ss2_psi_br"], t["ss2_psi_br_shoup"], t["ss2_n_inv"],
+        t["ss2_n_inv_shoup"], inverse=False)
+    return out.reshape(x.shape)
+
+
+def ntt_inverse_pallas(x: jnp.ndarray, t: dict) -> jnp.ndarray:
+    lead = x.shape[:-2]
+    L, n = x.shape[-2], x.shape[-1]
+    import numpy as _np
+
+    B = int(_np.prod(lead)) if lead else 1
+    x3 = x.reshape(B, L, n)
+    out = _ntt_pallas(
+        x3, t["q"], t["ss1_inv_psi_br"], t["ss1_inv_psi_br_shoup"],
+        t["ss1_n_inv"], t["ss1_n_inv_shoup"], t["ss_Ti"], t["ss_Ti_shoup"],
+        t["ss2_inv_psi_br"], t["ss2_inv_psi_br_shoup"], t["ss2_n_inv"],
+        t["ss2_n_inv_shoup"], inverse=True)
+    return out.reshape(x.shape)

@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-U32 = jnp.uint32
+import numpy as _np
+
+# U32 produces a *numpy* scalar: inlined as an immediate in jit traces AND
+# legal inside Pallas kernels (jnp scalars would be captured constants).
+U32 = _np.uint32
 _M16 = U32(0xFFFF)
 
 
