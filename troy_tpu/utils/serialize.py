@@ -345,6 +345,30 @@ def load_galois_keys(data: bytes) -> GaloisKeys:
     return GaloisKeys(keys, pid)
 
 
+# -- size upper bounds (ref: serialized_size_upperbound on every object) ----
+
+_FRAME_OVERHEAD = 17  # compression frame header worst case
+
+
+def plaintext_size_upperbound(pt: Plaintext) -> int:
+    arr = np.asarray(pt.data)
+    return 32 + 1 + 8 + 8 + (1 + 8 * arr.ndim) + arr.nbytes + _FRAME_OVERHEAD
+
+
+def ciphertext_size_upperbound(ct: Ciphertext) -> int:
+    polys = 1 if ct.seed is not None else ct.size
+    data = polys * ct.coeff_modulus_size * ct.poly_modulus_degree * 4
+    seed = 8 if ct.seed is not None else 0
+    return 32 + 2 + 8 + 8 + seed + (1 + 8 * 3) + data + _FRAME_OVERHEAD
+
+
+def kswitch_keys_size_upperbound(keys: KSwitchKeys) -> int:
+    total = 32 + 8 + _FRAME_OVERHEAD
+    for arr in keys.keys.values():
+        total += 8 + (1 + 8 * 4) + np.asarray(arr).nbytes
+    return total
+
+
 # -- LWE --------------------------------------------------------------------
 
 def save_lwe(lwe: LWECiphertext, mode=CompressionMode.Nil) -> bytes:
