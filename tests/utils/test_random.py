@@ -1,0 +1,83 @@
+"""RandomGenerator tests: determinism, distributions, AES parity mode
+(mirrors reference test/utils/random_generator.cu)."""
+
+import numpy as np
+import pytest
+
+from troy_tpu.utils.random import RandomGenerator, uniform_from_seed
+from troy_tpu.ops.poly import scalar_pack
+from troy_tpu.core.modulus import Modulus
+from troy_tpu.utils import numth
+from troy_tpu import native
+
+QTAB = scalar_pack([Modulus(p) for p in numth.get_primes(64, 30, 2)])
+N = 256
+
+
+def test_determinism_and_stream_separation():
+    a = RandomGenerator(42)
+    b = RandomGenerator(42)
+    x1 = np.asarray(a.sample_uniform((2, N), QTAB))
+    y1 = np.asarray(b.sample_uniform((2, N), QTAB))
+    np.testing.assert_array_equal(x1, y1)
+    # subsequent draws differ from the first
+    x2 = np.asarray(a.sample_uniform((2, N), QTAB))
+    assert (x1 != x2).any()
+    # different seeds differ
+    z = np.asarray(RandomGenerator(43).sample_uniform((2, N), QTAB))
+    assert (x1 != z).any()
+
+
+def test_seeded_c1_regeneration():
+    s = 12345
+    a = uniform_from_seed(s, (2, N), QTAB)
+    b = uniform_from_seed(s, (2, N), QTAB)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distributions():
+    g = RandomGenerator(7)
+    q = np.asarray(QTAB["q"])
+    u = np.asarray(g.sample_uniform((2, 4096), QTAB))
+    assert (u < q[:, None]).all()
+    assert u.mean() > 0.3 * q.mean()  # roughly uniform
+    t = np.asarray(g.sample_ternary((4096,), QTAB))
+    vals = set(np.unique(t[0]).tolist())
+    assert vals <= {0, 1, int(q[0]) - 1}
+    e = np.asarray(g.sample_cbd((4096,), QTAB))[0].astype(np.int64)
+    centered = np.where(e > int(q[0]) // 2, e - int(q[0]), e)
+    assert abs(centered.mean()) < 1.0
+    assert np.abs(centered).max() <= 21
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_aes_mode_deterministic_and_valid():
+    a = RandomGenerator(99, mode="aes")
+    b = RandomGenerator(99, mode="aes")
+    x = np.asarray(a.sample_uniform((2, N), QTAB))
+    y = np.asarray(b.sample_uniform((2, N), QTAB))
+    np.testing.assert_array_equal(x, y)
+    q = np.asarray(QTAB["q"])
+    assert (x < q[:, None]).all()
+    t = np.asarray(a.sample_ternary((N,), QTAB))
+    assert set(np.unique(t[0]).tolist()) <= {0, 1, int(q[0]) - 1}
+    e = np.asarray(a.sample_cbd((N,), QTAB))[0].astype(np.int64)
+    centered = np.where(e > int(q[0]) // 2, e - int(q[0]), e)
+    assert np.abs(centered).max() <= 21
+
+
+def test_encryption_with_aes_prng():
+    import sys
+    sys.path.insert(0, "tests")
+    from tests.core.fixtures import GeneralHeContext
+    from troy_tpu.core.encryptor import Encryptor
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30, 30, 30))
+    enc_aes = Encryptor(h.context, pk=h.pk, sk=h.sk,
+                        prng=RandomGenerator(5, mode="aes"))
+    rng = np.random.default_rng(0)
+    m = h.random_simd(rng)
+    ct = enc_aes.encrypt_asymmetric(h.encoder.encode(m))
+    np.testing.assert_array_equal(h.encoder.decode(h.decryptor.decrypt(ct)), m)

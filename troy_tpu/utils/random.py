@@ -64,29 +64,100 @@ def _cbd_from_key(key, shape_n, qtab: dict) -> jnp.ndarray:
 
 
 class RandomGenerator:
-    """Stateful deterministic sampler (ref: random_generator.h:42-95)."""
+    """Stateful deterministic sampler (ref: random_generator.h:42-95).
 
-    def __init__(self, seed: int | None = None):
+    mode='threefry' (default): JAX counter-based PRF, device-resident.
+    mode='aes'    : native AES-128-CTR keystream (troy_tpu/native), the
+                    reference's PRF — for cross-library parity vectors; bytes
+                    are generated host-side and uploaded.
+    """
+
+    def __init__(self, seed: int | None = None, mode: str = "threefry"):
         if seed is None:
             seed = secrets.randbits(63)
         self.seed = int(seed)
+        self.mode = mode
+        if mode not in ("threefry", "aes"):
+            raise ValueError(f"[RandomGenerator] unknown mode {mode}")
         self._key = jax.random.key(self.seed & 0x7FFFFFFFFFFFFFFF)
         self._counter = 0
+        if mode == "aes":
+            from .. import native
+
+            if not native.available():
+                raise RuntimeError("[RandomGenerator] native AES unavailable")
+            self._aes_key = self.seed.to_bytes(8, "little") * 2
 
     def _next_key(self):
         k = jax.random.fold_in(self._key, self._counter)
         self._counter += 1
         return k
 
+    def _aes_words(self, count: int):
+        """count uint32 words from the AES-CTR stream (block counter advances
+        by the consumed blocks; matches random_generator.h:42-47 layout)."""
+        import numpy as np
+
+        from .. import native
+
+        nbytes = count * 4
+        blocks = (nbytes + 15) // 16
+        raw = native.aes128_ctr_bytes(self._aes_key, self._counter, blocks * 16)
+        self._counter += blocks
+        return np.frombuffer(raw[:nbytes], dtype=np.uint32)
+
     # -- samplers (ref: random_generator.h:75-80) ---------------------------
     def sample_uniform(self, shape, qtab: dict) -> jnp.ndarray:
         """shape = (..., L, n) residues uniform mod each q."""
+        if self.mode == "aes":
+            import numpy as np
+            import math
+
+            count = int(math.prod(shape))
+            words = self._aes_words(2 * count)
+            hi = jnp.asarray(words[:count].reshape(shape))
+            lo = jnp.asarray(words[count:].reshape(shape))
+            L = qtab["q"].shape[0]
+            lead = (1,) * (len(shape) - 2)
+            return U.barrett_reduce_u64(
+                hi, lo, qtab["q"].reshape(lead + (L, 1)),
+                qtab["ratio_hi"].reshape(lead + (L, 1)),
+                qtab["ratio_lo"].reshape(lead + (L, 1)))
         return _uniform_from_key(self._next_key(), shape, qtab)
 
     def sample_ternary(self, shape_n, qtab: dict) -> jnp.ndarray:
+        if self.mode == "aes":
+            import numpy as np
+            import math
+
+            count = int(math.prod(shape_n))
+            words = self._aes_words(count)
+            r = jnp.asarray((words % 3).reshape(shape_n).astype(np.uint32))
+            L = qtab["q"].shape[0]
+            lead = (1,) * (len(shape_n) - 1)
+            q = qtab["q"].reshape(lead + (L, 1))
+            e = r[..., None, :]
+            return jnp.where(e == 2, q - U.U32(1),
+                             jnp.broadcast_to(e, e.shape[:-2] + (L, e.shape[-1])))
         return _ternary_from_key(self._next_key(), shape_n, qtab)
 
     def sample_cbd(self, shape_n, qtab: dict) -> jnp.ndarray:
+        if self.mode == "aes":
+            import numpy as np
+            import math
+
+            count = int(math.prod(shape_n))
+            words = self._aes_words(2 * count)
+            a = np.bitwise_count(words[:count] & _MASK21).astype(np.int64)
+            b = np.bitwise_count(words[count:] & _MASK21).astype(np.int64)
+            e = (a - b).reshape(shape_n)
+            L = qtab["q"].shape[0]
+            lead = (1,) * (len(shape_n) - 1)
+            q = qtab["q"].reshape(lead + (L, 1))
+            ej = jnp.asarray(e.astype(np.int32))[..., None, :]
+            lifted = jnp.where(ej < 0, q.astype(jnp.int32) + ej.astype(jnp.int32),
+                               jnp.broadcast_to(ej, ej.shape[:-2] + (L, ej.shape[-1])).astype(jnp.int32))
+            return lifted.astype(jnp.uint32)
         return _cbd_from_key(self._next_key(), shape_n, qtab)
 
     def sample_cbd_signed(self, shape_n) -> jnp.ndarray:
