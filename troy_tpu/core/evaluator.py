@@ -341,9 +341,12 @@ class Evaluator(LweOpsMixin):
         O = L + 1
         n = target_coeff.shape[-1]
         lead = target_coeff.shape[:-2]
-        # digits: D[..., i, j, :] = [target_i]_{p_j} (lift digits to all output primes)
-        x = jnp.broadcast_to(target_coeff[..., :, None, :], lead + (L, O, n))
-        D = P.modulo(x, otab)
+        # digits: D[..., i, j, :] = [target_i] as a LAZY residue mod p_j —
+        # all fast-path primes live in [2^28, 2^30), so a digit < q_i < 2*p_j
+        # is already a valid [0, 2q) lazy NTT input; the explicit Barrett
+        # reduction the reference needs (fgk/switch_key.cu set_accumulate)
+        # is skipped entirely
+        D = jnp.broadcast_to(target_coeff[..., :, None, :], lead + (L, O, n))
         D = NTT.ntt_forward(D, otab)
         # inner product with keys over decomposition primes: wide (hi, lo)
         # accumulation, one Barrett per output (ref: kernel_ski_util1's
