@@ -128,6 +128,12 @@ class NTTTables:
                 self._device.update(self._sixstep_pack())
                 if _BACKEND == "pallas":
                     self._device["use_pallas"] = True
+            elif _BACKEND == "pallas_mxu" and self.log_n >= _MXU_MIN_LOG_N:
+                from .ntt_mxu import MxuNTTTables
+
+                mxu = MxuNTTTables(self.log_n, self.moduli)
+                self._device.update(mxu.pack_prefixed())
+                self._device["use_pallas_mxu"] = True
         return self._device
 
     def _sixstep_pack(self) -> dict:
@@ -215,7 +221,7 @@ def set_ntt_backend(name: str):
     ops/ntt_mxu.py) or 'sixstep' (lane-optimal radix-2 over a matrix view).
     Affects table packs built afterwards."""
     global _BACKEND
-    if name not in ("radix2", "mxu", "sixstep"):
+    if name not in ("radix2", "mxu", "sixstep", "pallas", "pallas_mxu"):
         raise ValueError(f"[set_ntt_backend] unknown backend {name}")
     _BACKEND = name
 
@@ -339,6 +345,10 @@ def ntt_forward(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     out: [0,q) NTT order (ref: fgk/ntt_grouped.cu:33-295).  Dispatches to the
     MXU 4-step / six-step paths when the pack carries their tables."""
     if "mxu_W1" in t:
+        if t.get("use_pallas_mxu") and jax.default_backend() != "cpu":
+            from .ntt_pallas import ntt_forward_pallas_mxu
+
+            return ntt_forward_pallas_mxu(x, t)
         from .ntt_mxu import ntt_forward_mxu
 
         return ntt_forward_mxu(x, t, prefix="mxu_")
@@ -374,6 +384,10 @@ def ntt_inverse(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     """Inverse negacyclic NTT along the last axis. In: [0,q) NTT order;
     out: [0,q) natural order, scaled by n^-1."""
     if "mxu_W1i" in t:
+        if t.get("use_pallas_mxu") and jax.default_backend() != "cpu":
+            from .ntt_pallas import ntt_inverse_pallas_mxu
+
+            return ntt_inverse_pallas_mxu(x, t)
         from .ntt_mxu import ntt_inverse_mxu
 
         return ntt_inverse_mxu(x, t, prefix="mxu_")

@@ -99,6 +99,145 @@ def _inv_kernel(q_ref, p1_ref, p1s_ref, ni1_ref, ni1s_ref, t_ref, ts_ref,
     o_ref[...] = x[None]
 
 
+# ---------------------------------------------------------------------------
+# MXU variant: the two sub-transforms are int8-limb matmuls on the MXU with
+# recombination kept in VMEM (the pure-XLA mxu backend materializes 25
+# partial-product tensors to HBM per transform; here they never leave the
+# kernel).  Tables from MxuNTTTables (7-bit limb planes, exact int32 dots).
+# ---------------------------------------------------------------------------
+
+from .ntt_mxu import N_LIMBS, LIMB_BITS, _LIMB_MASK
+
+
+def _kernel_split_limbs(x):
+    return [((x >> U.U32(LIMB_BITS * i)) & U.U32(_LIMB_MASK)).astype(jnp.int8)
+            for i in range(N_LIMBS)]
+
+
+def _mxu_matmul_left(Wl, x, pw, pws, q):
+    """sum_b W[a,b] x[b,c] mod q for one limb: W limbs (N_LIMBS, a, b) int8,
+    x (a..b, c) u32 -> (a, c) u32; everything stays in registers/VMEM."""
+    xl = _kernel_split_limbs(x)
+    acc = None
+    for s in range(2 * N_LIMBS - 1):
+        ss = None
+        for i in range(max(0, s - N_LIMBS + 1), min(N_LIMBS, s + 1)):
+            p = jax.lax.dot_general(
+                Wl[i], xl[s - i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            ss = p if ss is None else ss + p
+        contrib = U.shoup_mul(ss.astype(jnp.uint32), pw[s], pws[s], q)
+        acc = contrib if acc is None else U.add_mod(acc, contrib, q)
+    return acc
+
+
+def _mxu_matmul_right(x, Wl, pw, pws, q):
+    xl = _kernel_split_limbs(x)
+    acc = None
+    for s in range(2 * N_LIMBS - 1):
+        ss = None
+        for i in range(max(0, s - N_LIMBS + 1), min(N_LIMBS, s + 1)):
+            p = jax.lax.dot_general(
+                xl[s - i], Wl[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            ss = p if ss is None else ss + p
+        contrib = U.shoup_mul(ss.astype(jnp.uint32), pw[s], pws[s], q)
+        acc = contrib if acc is None else U.add_mod(acc, contrib, q)
+    return acc
+
+
+def _fwd_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw_ref, pws_ref,
+                    x_ref, o_ref, *, n1, n2, L):
+    outs = []
+    for l in range(L):
+        q = q_ref[l, 0]
+        pw = [pw_ref[l, s] for s in range(2 * N_LIMBS - 1)]
+        pws = [pws_ref[l, s] for s in range(2 * N_LIMBS - 1)]
+        x = x_ref[0, l]                                  # (n1, n2)
+        w1 = [w1_ref[i, l] for i in range(N_LIMBS)]
+        a = _mxu_matmul_left(w1, x, pw, pws, q)          # stage A
+        b = U.shoup_mul(a, t_ref[l], ts_ref[l], q)       # twiddle
+        w2 = [w2_ref[i, l] for i in range(N_LIMBS)]
+        outs.append(_mxu_matmul_right(b, w2, pw, pws, q))
+    o_ref[...] = jnp.stack(outs)[None]
+
+
+def _inv_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw_ref, pws_ref,
+                    x_ref, o_ref, *, n1, n2, L):
+    outs = []
+    for l in range(L):
+        q = q_ref[l, 0]
+        pw = [pw_ref[l, s] for s in range(2 * N_LIMBS - 1)]
+        pws = [pws_ref[l, s] for s in range(2 * N_LIMBS - 1)]
+        x = x_ref[0, l]
+        w2 = [w2_ref[i, l] for i in range(N_LIMBS)]
+        c = _mxu_matmul_right(x, w2, pw, pws, q)
+        b = U.shoup_mul(c, t_ref[l], ts_ref[l], q)
+        w1 = [w1_ref[i, l] for i in range(N_LIMBS)]
+        outs.append(_mxu_matmul_left(w1, b, pw, pws, q))
+    o_ref[...] = jnp.stack(outs)[None]
+
+
+def _mxu_specs(L, n1, n2):
+    w1 = pl.BlockSpec((N_LIMBS, L, n1, n1), lambda b: (0, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    w2 = pl.BlockSpec((N_LIMBS, L, n2, n2), lambda b: (0, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec((L, n1, n2), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+    pw = pl.BlockSpec((L, 2 * N_LIMBS - 1), lambda b: (0, 0),
+                      memory_space=pltpu.SMEM)
+    scal = pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    xspec = pl.BlockSpec((1, L, n1, n2), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return [scal, w1, w2, tw, tw, pw, pw, xspec], xspec
+
+
+@functools.partial(jax.jit, static_argnames=("inverse",))
+def _ntt_pallas_mxu(x3, q, W1, W2, T, Ts, pw, pws, inverse: bool):
+    B, L, n = x3.shape
+    n1 = W1.shape[-1]
+    n2 = n // n1
+    in_specs, out_spec = _mxu_specs(L, n1, n2)
+    kern = functools.partial(
+        _inv_kernel_mxu if inverse else _fwd_kernel_mxu, n1=n1, n2=n2, L=L)
+    interpret = jax.default_backend() == "cpu"
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L, n1, n2), jnp.uint32),
+        interpret=interpret,
+    )(q.reshape(-1, 1), W1, W2, T, Ts, pw, pws, x3.reshape(B, L, n1, n2))
+    return out.reshape(B, L, n)
+
+
+def ntt_forward_pallas_mxu(x: jnp.ndarray, t: dict, prefix: str = "mxu_") -> jnp.ndarray:
+    lead = x.shape[:-2]
+    L, n = x.shape[-2], x.shape[-1]
+    import numpy as _np
+
+    B = int(_np.prod(lead)) if lead else 1
+    p = prefix
+    out = _ntt_pallas_mxu(x.reshape(B, L, n), t["q"], t[p + "W1"], t[p + "W2"],
+                          t[p + "T"], t[p + "T_shoup"], t[p + "pow_mod_q"],
+                          t[p + "pow_shoup"], inverse=False)
+    return out.reshape(x.shape)
+
+
+def ntt_inverse_pallas_mxu(x: jnp.ndarray, t: dict, prefix: str = "mxu_") -> jnp.ndarray:
+    lead = x.shape[:-2]
+    L, n = x.shape[-2], x.shape[-1]
+    import numpy as _np
+
+    B = int(_np.prod(lead)) if lead else 1
+    p = prefix
+    out = _ntt_pallas_mxu(x.reshape(B, L, n), t["q"], t[p + "W1i"], t[p + "W2i"],
+                          t[p + "Ti"], t[p + "Ti_shoup"], t[p + "pow_mod_q"],
+                          t[p + "pow_shoup"], inverse=True)
+    return out.reshape(x.shape)
+
+
 def _specs(L, n, n1, n2, inverse):
     full = lambda b: tuple([0] * 2)
     tab1 = pl.BlockSpec((L, n1), lambda b: (0, 0), memory_space=pltpu.VMEM)
