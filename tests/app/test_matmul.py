@@ -66,6 +66,22 @@ def test_ckks_matmul():
     np.testing.assert_allclose(dec, x @ w, atol=1e-2)
 
 
+def test_matmul_fly_matches_regular():
+    n = 64
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    batch, in_d, out_d = 2, 5, 4
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptLeft, pack_lwe=False)
+    x = RNG.integers(0, h.t, size=(batch, in_d), dtype=np.uint64)
+    w = RNG.integers(0, h.t, size=(in_d, out_d), dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    y = helper.matmul_fly(h.evaluator, adapter, x_enc, w)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    want = (x.astype(object) @ w.astype(object)) % h.t
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)
+
+
 def test_matmul_output_serialization():
     """Server->client wire: sparse save_terms shrinks unpacked outputs."""
     from troy_tpu.utils import serialize as S

@@ -190,6 +190,31 @@ class MatmulHelper:
                     ret[b][j] = prod if ret[b][j] is None else evaluator.add(ret[b][j], prod)
         return Cipher2d(ret)
 
+    def matmul_fly(self, evaluator: Evaluator, adapter, a: Cipher2d,
+                   weights) -> Cipher2d:
+        """matmul with on-the-fly weight encoding: each weight block is
+        encoded, used, and dropped — peak memory holds one encoded block
+        instead of the whole matrix (ref: matmul.cu matmul_fly)."""
+        w = np.asarray(weights)
+        ib, ob = self.input_block, self.output_block
+        bs = ceil_div(self.batch_size, self.batch_block)
+        os_ = ceil_div(self.output_dims, self.output_block)
+        ret = [[None] * os_ for _ in range(bs)]
+        for i, lj in enumerate(range(0, self.input_dims, ib)):
+            uj = min(lj + ib, self.input_dims)
+            for j, lk in enumerate(range(0, self.output_dims, ob)):
+                uk = min(lk + ob, self.output_dims)
+                vec = np.zeros(ib * ob, dtype=w.dtype)
+                for k in range(lk, uk):
+                    for jj in range(lj, uj):
+                        vec[(k - lk) * ib + ib - 1 - (jj - lj)] = w[jj, k]
+                pt = adapter.encode_for_plain(vec)
+                for b in range(bs):
+                    prod = evaluator.multiply_plain(a[b][i], pt)
+                    ret[b][j] = (prod if ret[b][j] is None
+                                 else evaluator.add(ret[b][j], prod))
+        return Cipher2d(ret)
+
     def matmul_reverse(self, evaluator: Evaluator, a: Plain2d, w: Cipher2d) -> Cipher2d:
         bs = ceil_div(self.batch_size, self.batch_block)
         os_ = ceil_div(self.output_dims, self.output_block)
