@@ -89,21 +89,29 @@ class Evaluator(LweOpsMixin):
 
     def _balance_bgv(self, ct1: Ciphertext, ct2: Ciphertext, cd: ContextData):
         """Equalize BGV correction factors (ref: evaluator_translate.cu
-        balance_correction_factors; simple exact variant)."""
+        balance_correction_factors).  Scaling ct_i by e_i multiplies its
+        noise by e_i, so scale by the smallest exact multipliers
+        e1 = f2/g, e2 = f1/g with g = gcd(f1, f2)."""
         if ct1.correction_factor == ct2.correction_factor:
             return ct1, ct2, ct1.correction_factor
         t = cd.parms.plain_modulus.value
         f1, f2 = ct1.correction_factor, ct2.correction_factor
+        g = numth.gcd(f1, f2)
+        e1, e2 = f2 // g, f1 // g
         a = ct1.clone()
         b = ct2.clone()
-        a.data = P.multiply_scalar(ct1.data, f2 % t, cd.qtab())
-        b.data = P.multiply_scalar(ct2.data, f1 % t, cd.qtab())
-        a.correction_factor = b.correction_factor = f1 * f2 % t
-        return a, b, f1 * f2 % t
+        a.data = P.multiply_scalar(ct1.data, e1 % t, cd.qtab())
+        b.data = P.multiply_scalar(ct2.data, e2 % t, cd.qtab())
+        f = f1 * e1 % t
+        a.correction_factor = b.correction_factor = f
+        return a, b, f
 
     def add(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
         self._check_same(ct1, ct2, "add")
         cd = self._cd(ct1)
+        if cd.parms.scheme == SchemeType.CKKS:
+            if abs(ct1.scale - ct2.scale) > 0.5 * max(ct1.scale, ct2.scale) * 1e-9:
+                raise ValueError("[Evaluator.add] CKKS scale mismatch")
         if cd.parms.scheme == SchemeType.BGV:
             ct1, ct2, cf = self._balance_bgv(ct1, ct2, cd)
         if ct1.size != ct2.size:

@@ -28,6 +28,15 @@ def _format_duration(ns: float) -> str:
     return f"{ns / 1e9:.3f} s"
 
 
+def profile_trace(log_dir: str):
+    """jax.profiler trace context for kernel-level timelines (the TPU
+    analog of nvtx/nsight, absent in the reference — SURVEY.md §5).
+    View with TensorBoard or xprof."""
+    import jax
+
+    return jax.profiler.trace(log_dir)
+
+
 class TimerOnce:
     """Scoped one-shot timer (ref: timer.h:110)."""
 
