@@ -24,9 +24,10 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("TROY_BENCH_BATCH", "16"))
-REPS = int(os.environ.get("TROY_BENCH_REPS", "10"))
+REPS = int(os.environ.get("TROY_BENCH_REPS", "20"))
 N = int(os.environ.get("TROY_BENCH_N", "8192"))
 LIMBS = int(os.environ.get("TROY_BENCH_LIMBS", "7"))
+OP = os.environ.get("TROY_BENCH_OP", "mul_relin")  # mul_relin | rotate
 CACHE = os.environ.get("TROY_BENCH_CACHE", "/tmp/troy_bench_cache")
 TARGET_OPS_PER_SEC = 750.0  # 5x CPU-SEAL (~150 ops/s) per BASELINE.md
 
@@ -105,6 +106,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeat runs skip the multi-minute XLA
+    # compile, so the timed loop can run in a fresh full-speed process
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_ccache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     setup_cache()
     ct_path, keys_path = _cache_paths()
     _log("building step (host tables)...")
@@ -129,32 +139,71 @@ def main():
         d1 = jnp.asarray(np.broadcast_to(cts[0][None], (BATCH,) + cts[0].shape))
         d2 = jnp.asarray(np.broadcast_to(cts[1][None], (BATCH,) + cts[1].shape))
         keys = jnp.asarray(keys_np)
-        step = batched.build_mul_relin_step(keys)
+        if OP == "rotate":
+            # galois (rotate_rows by 1) as a pure batched step: permutation
+            # gather + keyswitch (ref: evaluator_keyswitching.cu:263)
+            from troy_tpu.ops.galois import GaloisTool
+            from troy_tpu.ops import ntt as NTT, poly as PP, u32 as UU
+
+            tool = GaloisTool.for_context(cd)
+            elt = GaloisTool.get_element_from_step(1, N)
+            tool._coeff_tables[elt] = tool._build_coeff(elt)
+            evaluator._switch_tables(cd)
+            qtab = cd.qtab()
+
+            def step(d, _unused, k):
+                c0g = tool.apply_coeff(d[:, 0], elt, qtab)
+                tgt = tool.apply_coeff(d[:, 1], elt, qtab)
+                sw = evaluator._switch_key_impl(cd, tgt, k, out_ntt=False)
+                c0 = UU.add_mod(sw[:, 0], c0g, qtab["q"][:, None])
+                return jnp.stack([c0, sw[:, 1]], axis=1)
+        else:
+            step = batched.build_mul_relin_step(keys)
 
     _log(f"compiling on {jax.devices()[0]} (batch={BATCH})...")
     dev = jax.devices()[0]
     d1, d2, keys = jax.device_put((d1, d2, keys), dev)
+    from jax import lax
+
+    # the timed region is a single jitted fori_loop: one dispatch, REPS
+    # data-dependent steps back-to-back on device — immune to host dispatch
+    # overhead and to the remote platform's premature block_until_ready
+    def chained(a, b, k):
+        return lax.fori_loop(0, REPS, lambda i, c: step(c, b, k), a)
+
     fn = jax.jit(step)
+    loop_fn = jax.jit(chained)
     out = fn(d1, d2, keys)
     jax.block_until_ready(out)
-    # correctness gate: device result must match the CPU radix-2 ground truth
-    expected = np.load(_cache_expected())
-    got = np.asarray(out)[:1]
-    if not (got == expected).all():
-        raise AssertionError("[bench] device output mismatches CPU reference")
-    _log("compiled + verified; timing...")
+    if OP == "mul_relin":
+        # correctness gate: device result must match CPU radix-2 ground truth
+        expected = np.load(_cache_expected())
+        got = np.asarray(out)[:1]
+        if not (got == expected).all():
+            raise AssertionError("[bench] device output mismatches CPU reference")
+        _log("compiled + verified; timing...")
+    else:
+        _log("compiled; timing (timing-only op, no verification gate)...")
     # chain iterations (output feeds back as input) so the runtime cannot
     # dedupe or overlap identical computations
+    # warm the loop program, then time it: subtracting a 1-iteration run
+    # would remove the dispatch constant, but with REPS >= 10 it is < 10%
+    warm = loop_fn(d1, d2, keys)
+    _ = np.asarray(warm[(0,) * warm.ndim])
+    # timed input differs from the warm input (rules out any result
+    # memoization) and is materialized BEFORE the timed region
+    d1p = jax.block_until_ready(d1 ^ jnp.uint32(1))
+    _ = np.asarray(d1p[(0,) * d1p.ndim])
     t0 = time.perf_counter()
-    cur = d1
-    for _ in range(REPS):
-        cur = fn(cur, d2, keys)
-    jax.block_until_ready(cur)
+    cur = loop_fn(d1p, d2, keys)
+    # one-element host readback: block_until_ready alone returns early on
+    # the remote platform
+    _ = np.asarray(cur[(0,) * cur.ndim])
     dt = time.perf_counter() - t0
     ops_per_sec = BATCH * REPS / dt
     _log(f"{dt*1e3/REPS:.3f} ms per batched step")
     print(json.dumps({
-        "metric": "bfv_n8192_mul_relin_ops_per_sec",
+        "metric": f"bfv_n{N}_{OP}_ops_per_sec",
         "value": round(ops_per_sec, 2),
         "unit": "ciphertexts/s",
         "vs_baseline": round(ops_per_sec / TARGET_OPS_PER_SEC, 3),
