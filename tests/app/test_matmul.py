@@ -107,6 +107,50 @@ def test_matmul_output_serialization():
     np.testing.assert_array_equal(dec.astype(object) % h.t, want)
 
 
+def test_ckks_matmul_pack_lwe():
+    n = 64
+    scale = 2.0 ** 20
+    h = GeneralHeContext("CKKS", n, q_bits=(30, 30, 30, 30), scale=scale)
+    adapter = CKKSEncoderAdapter(h.encoder, scale)
+    batch, in_d, out_d = 2, 4, 3
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptLeft, pack_lwe=True)
+    x = RNG.uniform(-1, 1, (batch, in_d))
+    w = RNG.uniform(-1, 1, (in_d, out_d))
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    w_enc = helper.encode_weights(adapter, w)
+    y = helper.matmul(h.evaluator, x_enc, w_enc)
+    auto_keys = h.keygen.create_automorphism_keys()
+    y = helper.pack_outputs(h.evaluator, auto_keys, y)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    np.testing.assert_allclose(dec, x @ w, atol=2e-2)
+
+
+def test_bfv_matmul_seeded_inputs_wire():
+    """Client sends seed-compressed inputs; server computes; terms wire back."""
+    from troy_tpu.utils import serialize as S
+    from troy_tpu.app.cipher2d import Cipher2d
+
+    n = 64
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    helper = MatmulHelper(2, 3, 2, n, MatmulObjective.EncryptLeft, pack_lwe=False)
+    x = RNG.integers(0, h.t, (2, 3), dtype=np.uint64)
+    w = RNG.integers(0, h.t, (3, 2), dtype=np.uint64)
+    x_enc = helper.encode_inputs(adapter, x).encrypt_symmetric(
+        h.encryptor, save_seed=True)
+    wire = [[S.save_ciphertext(c, h.context, S.CompressionMode.Zstd)
+             for c in row] for row in x_enc.data]
+    x_srv = Cipher2d([[S.load_ciphertext(b, h.context) for b in row]
+                      for row in wire])
+    y = helper.matmul(h.evaluator, x_srv, helper.encode_weights(adapter, w))
+    blobs = helper.serialize_outputs(h.context, y, S.CompressionMode.Zstd)
+    dec = helper.decrypt_outputs(
+        adapter, h.decryptor, helper.deserialize_outputs(h.context, blobs))
+    want = (x.astype(object) @ w.astype(object)) % h.t
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)
+
+
 def test_bfv_matmul_encrypt_right():
     n = 64
     h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
