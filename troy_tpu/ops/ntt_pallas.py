@@ -31,14 +31,16 @@ def _row_butterflies_forward(x, psi, psi_sh, q3, two_q, L, N, M):
     """x: (L, N, M) u32; CT butterflies pairing blocks of rows (axis -2) —
     reshape-free (Mosaic cannot relayout cross-lane reshapes), fully
     unrolled: row slices + one concatenate per stage.  psi: (L, N)."""
+    L = x.shape[0]
     m, t = 1, N // 2
     while m < N:
         pieces = []
         for i in range(m):
             u = x[:, 2 * i * t : (2 * i + 1) * t, :]
             v = x[:, (2 * i + 1) * t : (2 * i + 2) * t, :]
-            w = psi[:, m + i][:, None, None]
-            ws = psi_sh[:, m + i][:, None, None]
+            # lane-only broadcast first (Mosaic lacks 2D scalar broadcasts)
+            w = jnp.broadcast_to(psi[:, m + i][:, None, None], (L, 1, M))
+            ws = jnp.broadcast_to(psi_sh[:, m + i][:, None, None], (L, 1, M))
             tv = U.shoup_mul_lazy(v, w, ws, q3)
             pieces.append(U.cond_sub(u + tv, two_q))
             pieces.append(U.cond_sub(u + two_q - tv, two_q))
@@ -50,20 +52,23 @@ def _row_butterflies_forward(x, psi, psi_sh, q3, two_q, L, N, M):
 
 def _row_butterflies_inverse(x, ipsi, ipsi_sh, n_inv, n_inv_sh, q3, two_q,
                              L, N, M):
+    L = x.shape[0]
     m, t = N // 2, 1
     while m >= 1:
         pieces = []
         for i in range(m):
             u = x[:, 2 * i * t : (2 * i + 1) * t, :]
             v = x[:, (2 * i + 1) * t : (2 * i + 2) * t, :]
-            w = ipsi[:, m + i][:, None, None]
-            ws = ipsi_sh[:, m + i][:, None, None]
+            w = jnp.broadcast_to(ipsi[:, m + i][:, None, None], (L, 1, M))
+            ws = jnp.broadcast_to(ipsi_sh[:, m + i][:, None, None], (L, 1, M))
             pieces.append(U.cond_sub(u + v, two_q))
             pieces.append(U.shoup_mul_lazy(u + two_q - v, w, ws, q3))
         x = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
         m //= 2
         t *= 2
-    return U.shoup_mul(x, n_inv[:, :, None], n_inv_sh[:, :, None], q3)
+    ninv = n_inv if n_inv.ndim == 3 else n_inv[:, :, None]
+    ninv_sh = n_inv_sh if n_inv_sh.ndim == 3 else n_inv_sh[:, :, None]
+    return U.shoup_mul(x, ninv, ninv_sh, q3)
 
 
 def _fwd_kernel(q_ref, p1_ref, p1s_ref, t_ref, ts_ref, p2_ref, p2s_ref,
