@@ -54,6 +54,33 @@ def test_batched_multiply_plain():
         np.testing.assert_array_equal(h.decrypt(out), m1 * m2 % h.t)
 
 
+def test_batched_encrypt_decrypt():
+    h = make()
+    ms = [h.random_simd(RNG) for _ in range(B)]
+    pts = [h.encoder.encode(m) for m in ms]
+    cts = h.encryptor.encrypt_asymmetric_batched(pts)
+    cts2 = h.encryptor.encrypt_symmetric_batched(pts, save_seed=True)
+    for out, m in zip(h.decryptor.decrypt_batched(cts), ms):
+        np.testing.assert_array_equal(h.encoder.decode(out), m)
+    for ct, m in zip(cts2, ms):
+        assert ct.seed is not None
+        np.testing.assert_array_equal(h.decrypt(ct), m)
+
+
+def test_add_mixed_sizes():
+    """size-3 + size-2 pads the smaller operand (ref: translate with
+    differing polynomial counts)."""
+    h = make()
+    m1, m2, m3 = (h.random_simd(RNG) for _ in range(3))
+    prod = h.evaluator.multiply(h.encrypt(m1), h.encrypt(m2))  # size 3
+    ct3 = h.encrypt(m3)                                        # size 2
+    s = h.evaluator.add(prod, ct3)
+    assert s.size == 3
+    np.testing.assert_array_equal(h.decrypt(s), (m1 * m2 + m3) % h.t)
+    s2 = h.evaluator.add(ct3, prod)  # commuted
+    np.testing.assert_array_equal(h.decrypt(s2), (m1 * m2 + m3) % h.t)
+
+
 def test_batched_bgv_multiply():
     h = make("BGV")
     ms1 = [h.random_simd(RNG) for _ in range(B)]

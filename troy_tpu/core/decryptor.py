@@ -92,6 +92,10 @@ class Decryptor:
         """Raw phase in RNS (ref: decryptor.h:62)."""
         return Plaintext(self.phase(ct), parms_id=ct.parms_id)
 
+    def decrypt_batched(self, cts: list[Ciphertext]) -> list[Plaintext]:
+        """ref: decryptor.h decrypt_batched"""
+        return [self.decrypt(ct) for ct in cts]
+
     # ------------------------------------------------------------------
     def invariant_noise_budget(self, ct: Ciphertext) -> int:
         """log2(q / 2*||t*phase mod q||) in bits (BFV/BGV;

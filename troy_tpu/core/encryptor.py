@@ -149,6 +149,16 @@ class Encryptor:
         # adding the message into c0 leaves the seeded c1 untouched
         return self._add_plain(ct, plain, cd)
 
+    # -- batched variants (ref: encryptor.h *_batched) ----------------------
+    def encrypt_asymmetric_batched(self, plains: list[Plaintext],
+                                   parms_id: ParmsID | None = None) -> list[Ciphertext]:
+        return [self.encrypt_asymmetric(p, parms_id) for p in plains]
+
+    def encrypt_symmetric_batched(self, plains: list[Plaintext],
+                                  parms_id: ParmsID | None = None,
+                                  save_seed: bool = False) -> list[Ciphertext]:
+        return [self.encrypt_symmetric(p, parms_id, save_seed) for p in plains]
+
 
 def _centralize_bgv(cd: ContextData, m_mod_t):
     """Centered lift of a mod-t polynomial into the level's RNS base
