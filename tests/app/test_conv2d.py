@@ -59,3 +59,32 @@ def test_conv2d_tiled():
 
 def test_conv2d_channels():
     run_conv(batch=1, ci=3, co=2, H=4, W=4, kh=2, kw=2, n=64)
+
+
+def test_ring2k_conv2d():
+    """Cheetah conv2d over Z_2^k (reference test/app conv2d ring2k cases)."""
+    from troy_tpu.app.ring2k import PolynomialEncoderRing2k
+    from troy_tpu.app.encoder_adapter import Ring2kEncoderAdapter
+    from troy_tpu.app.matmul import MatmulObjective
+
+    n, k = 64, 18
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    enc = PolynomialEncoderRing2k(h.context, k)
+    adapter = Ring2kEncoderAdapter(enc)
+    mask = (1 << k) - 1
+    B, Ci, Co, H, W, kh, kw = 1, 2, 1, 4, 4, 2, 2
+    helper = Conv2dHelper(B, Ci, Co, H, W, kh, kw, n, MatmulObjective.EncryptLeft)
+    x = RNG.integers(0, 1 << k, (B, Ci, H, W), dtype=np.uint64)
+    kern = RNG.integers(0, 1 << k, (Co, Ci, kh, kw), dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    k_enc = helper.encode_weights(adapter, kern)
+    y = helper.conv2d(h.evaluator, x_enc, k_enc)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    for b in range(B):
+        for oc in range(Co):
+            for i in range(H - kh + 1):
+                for j in range(W - kw + 1):
+                    acc = sum(int((x[b, ic, i:i+kh, j:j+kw].astype(object)
+                                   * kern[oc, ic].astype(object)).sum())
+                              for ic in range(Ci)) & mask
+                    assert int(dec[b, oc, i, j]) & mask == acc

@@ -66,6 +66,30 @@ def test_ckks_matmul():
     np.testing.assert_allclose(dec, x @ w, atol=1e-2)
 
 
+def test_ring2k_matmul():
+    """BumbleBee matmul over Z_2^k (BASELINE.json config; reference
+    test/app matmul ring2k cases)."""
+    from troy_tpu.app.ring2k import PolynomialEncoderRing2k
+    from troy_tpu.app.encoder_adapter import Ring2kEncoderAdapter
+
+    n, k = 64, 20
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    enc = PolynomialEncoderRing2k(h.context, k)
+    adapter = Ring2kEncoderAdapter(enc)
+    mask = (1 << k) - 1
+    batch, in_d, out_d = 2, 3, 2
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptLeft, pack_lwe=False)
+    x = RNG.integers(0, 1 << k, (batch, in_d), dtype=np.uint64)
+    w = RNG.integers(0, 1 << k, (in_d, out_d), dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    w_enc = helper.encode_weights(adapter, w)
+    y = helper.matmul(h.evaluator, x_enc, w_enc)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    want = (x.astype(object) @ w.astype(object)) & mask
+    np.testing.assert_array_equal(dec.astype(object) & mask, want)
+
+
 def test_matmul_fly_matches_regular():
     n = 64
     h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
