@@ -171,3 +171,36 @@ def test_jit_composition():
     got = f(*_pairs(a), *_pairs(b))
     np.testing.assert_array_equal(
         _ints(*got), [(int(x) * int(y) + int(x)) % q for x, y in zip(a, b)])
+
+
+def test_dot_mod64():
+    """128-bit accumulating dot product (keyswitch inner-product primitive)."""
+    for q in PRIMES:
+        r0, r1, r2, r3 = W.barrett_ratio_u128(q)
+        qh, ql = W.words(q, 2)[1], W.words(q, 2)[0]
+        K = 7
+        a = [RNG.integers(0, q, 64, dtype=np.uint64) for _ in range(K)]
+        b = [RNG.integers(0, q, 64, dtype=np.uint64) for _ in range(K)]
+        pairs = [(_pairs(x), _pairs(y)) for x, y in zip(a, b)]
+        mt = W.dot_mod64_terms(q)
+        assert 1 <= mt <= 16
+        got = W.dot_mod64(pairs, qh, ql, r3, r2, r1, r0, mt)
+        want = [sum(int(a[k][i]) * int(b[k][i]) for k in range(K)) % q
+                for i in range(64)]
+        np.testing.assert_array_equal(_ints(*got), want)
+
+
+def test_add128():
+    """4-word 128-bit add vs python-int oracle, wrapping mod 2^128."""
+    words = [np.asarray(jnp.asarray(
+        RNG.integers(0, 1 << 32, 64, dtype=np.uint64).astype(np.uint32)))
+        for _ in range(8)]
+    a3, a2, a1, a0, b3, b2, b1, b0 = words
+    got = W.add128(a3, a2, a1, a0, b3, b2, b1, b0)
+    g = [np.asarray(x) for x in got]
+    for i in range(64):
+        x = sum(int(w[i]) << (32 * k) for k, w in enumerate([a0, a1, a2, a3]))
+        y = sum(int(w[i]) << (32 * k) for k, w in enumerate([b0, b1, b2, b3]))
+        want = (x + y) % (1 << 128)
+        out = sum(int(g[3 - k][i]) << (32 * k) for k in range(4))
+        assert out == want, f"add128 mismatch at {i}"

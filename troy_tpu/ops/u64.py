@@ -252,3 +252,47 @@ def shoup_mul64(x_hi, x_lo, w_hi, w_lo, ws_hi, ws_lo, q_hi, q_lo):
     r_hi, r_lo = shoup_mul64_lazy(x_hi, x_lo, w_hi, w_lo, ws_hi, ws_lo,
                                   q_hi, q_lo)
     return cond_sub64(r_hi, r_lo, q_hi, q_lo)
+
+
+# ---------------------------------------------------------------------------
+# Wide (128-bit, 4-word) accumulation of products — the dot-product primitive
+# for keyswitch inner products at compat width (ref: kernel_ski_util1's
+# 128-bit lazy accumulation, evaluator_keyswitching_core.cu).
+# ---------------------------------------------------------------------------
+
+def add128(a3, a2, a1, a0, b3, b2, b1, b0):
+    """128-bit addition of 4-word little-endian vectors, wrapping mod 2^128."""
+    r0 = a0 + b0
+    c = (r0 < a0).astype(U32)
+    r1 = a1 + b1
+    c1 = (r1 < a1).astype(U32)
+    r1 = r1 + c
+    c1 = c1 + (r1 < c).astype(U32)
+    r2 = a2 + b2
+    c2 = (r2 < a2).astype(U32)
+    r2 = r2 + c1
+    c2 = c2 + (r2 < c1).astype(U32)
+    r3 = a3 + b3 + c2
+    return r3, r2, r1, r0
+
+
+def dot_mod64_terms(q: int) -> int:
+    """Max products of residues < q that a 128-bit accumulator holds while
+    staying under the barrett_reduce_u128 exactness bound (sum < q * 2^64)."""
+    return max(1, min(16, (1 << 64) // q))
+
+
+def dot_mod64(pairs, q_hi, q_lo, r3, r2, r1, r0, max_terms: int):
+    """sum_i a_i * b_i mod q for a list of ((a_hi, a_lo), (b_hi, b_lo))
+    residue pairs with values < q, one Barrett per chunk output.  Chunks of
+    max_terms (from dot_mod64_terms for the LARGEST modulus in a stacked
+    limb axis) accumulate exactly in 4-word vectors."""
+    total = None
+    for start in range(0, len(pairs), max_terms):
+        acc = None
+        for (a_hi, a_lo), (b_hi, b_lo) in pairs[start : start + max_terms]:
+            p = mul64_wide(a_hi, a_lo, b_hi, b_lo)
+            acc = p if acc is None else add128(*acc, *p)
+        part = barrett_reduce_u128(*acc, q_hi, q_lo, r3, r2, r1, r0)
+        total = part if total is None else add_mod64(*total, *part, q_hi, q_lo)
+    return total
