@@ -28,6 +28,39 @@ def test_determinism_and_stream_separation():
     assert (x1 != z).any()
 
 
+def test_domain_separation_and_seed_publication():
+    """Advisor findings: published seeds must be one-way in the master seed;
+    consumers sharing a context seed must get independent streams."""
+    a = RandomGenerator(42, domain="encryptor")
+    b = RandomGenerator(42, domain="keygen")
+    xa = np.asarray(a.sample_uniform((2, N), QTAB))
+    xb = np.asarray(b.sample_uniform((2, N), QTAB))
+    assert (xa != xb).any()  # same seed, different domains -> different streams
+    # new_seed is deterministic per (seed, domain), nonzero, and NOT the old
+    # invertible affine map seed*phi + counter
+    g1, g2 = RandomGenerator(42), RandomGenerator(42)
+    s1, s2 = g1.new_seed(), g2.new_seed()
+    assert s1 == s2 and s1 != 0
+    assert s1 != (42 * 0x9E3779B97F4A7C15 + 1) & ((1 << 63) - 1)
+    assert g1.new_seed() != s1  # counter advances
+    # default-constructed generators draw fresh entropy (>=128-bit seeds)
+    assert RandomGenerator().seed != RandomGenerator().seed
+
+
+def test_compat_rng_defaults_fresh_entropy():
+    from troy_tpu.compat.ckks64 import Ckks64Context, _Blake2Rng
+
+    c1 = Ckks64Context(4, (40, 40))
+    c2 = Ckks64Context(4, (40, 40))
+    assert c1.seed != c2.seed  # no shared fixed default seed
+    r1, r2 = _Blake2Rng(7), _Blake2Rng(7)
+    v1 = r1.integers(0, (1 << 60) - 87, (64,), dtype=np.uint64)
+    assert (v1 == r2.integers(0, (1 << 60) - 87, (64,), dtype=np.uint64)).all()
+    assert (v1 < np.uint64((1 << 60) - 87)).all()
+    t = r1.integers(-1, 2, (256,))
+    assert set(np.unique(t).tolist()) <= {-1, 0, 1}
+
+
 def test_seeded_c1_regeneration():
     s = 12345
     a = uniform_from_seed(s, (2, N), QTAB)

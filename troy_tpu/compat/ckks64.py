@@ -23,6 +23,9 @@ the u32 fast path remains the performance path (see ops/u64.py cost model).
 
 from __future__ import annotations
 
+import hashlib
+import secrets
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -56,6 +59,42 @@ def _cached_jit(cache: dict, key, builder):
     if key not in cache:
         cache[key] = jax.jit(builder())
     return cache[key]
+
+
+class _Blake2Rng:
+    """CSPRNG with the tiny slice of the numpy-Generator surface this stack
+    uses (`integers`).  Keyed blake2b counter stream — key/noise sampling must
+    not come from a non-cryptographic PCG64 (advisor finding); fixed seeds
+    remain available for explicit parity-vector testing."""
+
+    def __init__(self, seed: int):
+        self._key = hashlib.blake2b(str(int(seed)).encode(), digest_size=32,
+                                    person=b"troy64rng").digest()
+        self._ctr = 0
+
+    def _bytes(self, n: int) -> bytes:
+        out = bytearray()
+        while len(out) < n:
+            out += hashlib.blake2b(self._key + self._ctr.to_bytes(8, "little"),
+                                   digest_size=64).digest()
+            self._ctr += 1
+        return bytes(out[:n])
+
+    def integers(self, low, high, size=None, dtype=np.int64):
+        """Uniform in [low, high) with <= 2^-32 modulo bias (16 random bytes
+        per draw for wide ranges)."""
+        rng_range = int(high) - int(low)
+        shape = () if size is None else (
+            (size,) if isinstance(size, int) else tuple(size))
+        cnt = int(np.prod(shape)) if shape else 1
+        if rng_range <= (1 << 32):
+            v = np.frombuffer(self._bytes(cnt * 8), dtype=np.uint64)
+            vals = (v % np.uint64(rng_range)).astype(np.int64) + int(low)
+            return vals.reshape(shape).astype(dtype)
+        v = np.frombuffer(self._bytes(cnt * 16), dtype=np.uint64).reshape(cnt, 2)
+        wide = v[:, 0].astype(object) | (v[:, 1].astype(object) << 64)
+        vals = (wide % rng_range) + int(low)
+        return vals.astype(dtype).reshape(shape)
 
 
 class LevelData:
@@ -106,11 +145,13 @@ class Ckks64Context:
     the special prime last, each in [40, 62) — e.g. (60, 40, 40, 60)."""
 
     def __init__(self, log_n: int, bit_sizes: tuple, scale: float = 2.0 ** 40,
-                 seed: int = 0):
+                 seed: int | None = None):
         self.log_n = log_n
         self.n = 1 << log_n
         self.scale = scale
-        self.seed = seed
+        # fresh OS entropy by default; pass an explicit seed only for
+        # reproducible benchmarks / parity-vector tests
+        self.seed = secrets.randbits(128) if seed is None else seed
         counts: dict[int, int] = {}
         for b in bit_sizes:
             counts[b] = counts.get(b, 0) + 1
@@ -243,7 +284,7 @@ class Ckks64KeyGenerator:
     def __init__(self, ctx: Ckks64Context, seed: int | None = None):
         self.ctx = ctx
         self._jit_cache = ctx.jit_cache
-        self.rng = np.random.default_rng(ctx.seed if seed is None else seed)
+        self.rng = _Blake2Rng(ctx.seed if seed is None else seed)
         kl = ctx.key_level
         base = kl.primes + [kl.special]
         s_hi, s_lo = _sample_small_coeff(self.rng, base, ctx.n, "ternary")

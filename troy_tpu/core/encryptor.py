@@ -30,7 +30,9 @@ class Encryptor:
         self.context = context
         self.pk = pk
         self.sk = sk
-        self.prng = prng or RandomGenerator(context.seed)
+        # domain separation: a shared context seed (reproducible benchmarks)
+        # must not give the Encryptor the same PRF stream as the KeyGenerator
+        self.prng = prng or RandomGenerator(context.seed, domain="encryptor")
 
     # ------------------------------------------------------------------
     def _level(self, parms_id: ParmsID | None) -> ContextData:

@@ -33,7 +33,8 @@ class KeyGenerator:
     def __init__(self, context: HeContext, sk: SecretKey | None = None,
                  prng: RandomGenerator | None = None):
         self.context = context
-        self.prng = prng or RandomGenerator(context.seed)
+        # domain-separated from the Encryptor's stream (see encryptor.py)
+        self.prng = prng or RandomGenerator(context.seed, domain="keygen")
         cd = context.key_context_data()
         if sk is not None:
             self._sk = sk

@@ -15,6 +15,7 @@ Determinism contract (mirrors the reference seed semantics):
 
 from __future__ import annotations
 
+import hashlib
 import secrets
 
 import jax
@@ -24,13 +25,25 @@ from ..ops import u32 as U
 
 NOISE_MAX_DEVIATION = 21  # CBD bound, sigma ~ 3.2 (ref: rlwe noise sampler)
 _MASK21 = (1 << 21) - 1
+_M63 = (1 << 63) - 1
 
 
-def _uniform_from_key(key, shape, qtab: dict) -> jnp.ndarray:
-    """Uniform residues in [0, q) per limb: 64 random bits Barrett-reduced
-    (same negligible modulo bias as the reference's AES-CTR mod q)."""
+def _bits2(keys, shape) -> jnp.ndarray:
+    """XOR of two independently-keyed threefry streams.  A single threefry
+    key holds only 64 bits of state, so one stream caps the sampling keyspace
+    at 2^64; XORing streams keyed by independent halves of the 128-bit master
+    seed restores a 128-bit keyspace (matching the reference's AES-128 PRF,
+    random_generator.h:42)."""
+    ka, kb = keys
+    return jax.random.bits(ka, shape, jnp.uint32) ^ jax.random.bits(
+        kb, shape, jnp.uint32)
+
+
+def _uniform_from_bits(bits, shape, qtab: dict) -> jnp.ndarray:
+    """Uniform residues in [0, q) per limb from a (2,)+(...,L,n) bit tensor:
+    64 random bits Barrett-reduced (same negligible modulo bias as the
+    reference's AES-CTR mod q)."""
     L = qtab["q"].shape[0]
-    bits = jax.random.bits(key, (2,) + tuple(shape[:-2]) + (L, shape[-1]), jnp.uint32)
     lead = (1,) * (len(shape) - 2)
     q = qtab["q"].reshape(lead + (L, 1))
     hi = qtab["ratio_hi"].reshape(lead + (L, 1))
@@ -38,20 +51,29 @@ def _uniform_from_key(key, shape, qtab: dict) -> jnp.ndarray:
     return U.barrett_reduce_u64(bits[0], bits[1], q, hi, lo)
 
 
-def _ternary_from_key(key, shape_n, qtab: dict) -> jnp.ndarray:
-    """Ternary secret {-1, 0, 1} lifted to every limb: (..., L, n)."""
-    r = jax.random.randint(key, shape_n, 0, 3, dtype=jnp.int32).astype(jnp.uint32)
+def _uniform_from_key(key, shape, qtab: dict) -> jnp.ndarray:
+    """Single-key variant: used only for c1 regeneration from a *published*
+    ciphertext seed (ref: ciphertext.h:255), where the seed itself is public."""
     L = qtab["q"].shape[0]
-    lead = (1,) * (len(shape_n) - 1)
+    bits = jax.random.bits(key, (2,) + tuple(shape[:-2]) + (L, shape[-1]), jnp.uint32)
+    return _uniform_from_bits(bits, shape, qtab)
+
+
+def _ternary_from_bits(r, qtab: dict) -> jnp.ndarray:
+    """Ternary secret {-1, 0, 1} lifted to every limb: (..., L, n).
+    r holds uniform u32 words; % 3 bias is 2^-32-negligible (the reference
+    samples the same way from its AES words)."""
+    r = r % U.U32(3)
+    L = qtab["q"].shape[0]
+    lead = (1,) * (r.ndim - 1)
     q = qtab["q"].reshape(lead + (L, 1))
     e = r[..., None, :]  # 0,1,2
     return jnp.where(e == 2, q - U.U32(1), jnp.broadcast_to(e, e.shape[:-2] + (L, e.shape[-1])))
 
 
-def _cbd_from_key(key, shape_n, qtab: dict) -> jnp.ndarray:
+def _cbd_from_bits(bits, shape_n, qtab: dict) -> jnp.ndarray:
     """Centered binomial (sum of 21 bits minus sum of 21 bits), lifted to all
     limbs (ref: random_generator.cu sample_poly_centered_binomial)."""
-    bits = jax.random.bits(key, (2,) + shape_n, jnp.uint32)
     a = jnp.bitwise_count(bits[0] & U.U32(_MASK21)).astype(jnp.int32)
     b = jnp.bitwise_count(bits[1] & U.U32(_MASK21)).astype(jnp.int32)
     e = a - b  # [-21, 21]
@@ -72,26 +94,42 @@ class RandomGenerator:
                     are generated host-side and uploaded.
     """
 
-    def __init__(self, seed: int | None = None, mode: str = "threefry"):
+    def __init__(self, seed: int | None = None, mode: str = "threefry",
+                 domain: str = ""):
         if seed is None:
-            seed = secrets.randbits(63)
+            seed = secrets.randbits(128)  # >= 128-bit master entropy
         self.seed = int(seed)
         self.mode = mode
+        self.domain = domain
         if mode not in ("threefry", "aes"):
             raise ValueError(f"[RandomGenerator] unknown mode {mode}")
-        self._key = jax.random.key(self.seed & 0x7FFFFFFFFFFFFFFF)
+        # Derive per-consumer PRF keys one-way from (master seed, domain):
+        # never key the PRF with the raw seed, and give each consumer
+        # (Encryptor/KeyGenerator/...) an independent stream even when they
+        # share a context seed.
+        self._seed_bytes = hashlib.blake2b(
+            str(self.seed).encode(), digest_size=32, person=b"troyseed").digest()
+        dk = hashlib.blake2b(self._seed_bytes + domain.encode(),
+                             digest_size=16, person=b"troy-prf").digest()
+        self._key_a = jax.random.key(int.from_bytes(dk[:8], "little") & _M63)
+        self._key_b = jax.random.key(int.from_bytes(dk[8:], "little") & _M63)
         self._counter = 0
+        self._seed_counter = 0
         if mode == "aes":
             from .. import native
 
             if not native.available():
                 raise RuntimeError("[RandomGenerator] native AES unavailable")
-            self._aes_key = self.seed.to_bytes(8, "little") * 2
+            # 16 independently-derived key bytes (not the seed duplicated)
+            self._aes_key = hashlib.blake2b(
+                self._seed_bytes + domain.encode(), digest_size=16,
+                person=b"troy-aes").digest()
 
-    def _next_key(self):
-        k = jax.random.fold_in(self._key, self._counter)
+    def _next_keys(self):
+        c = self._counter
         self._counter += 1
-        return k
+        return (jax.random.fold_in(self._key_a, c),
+                jax.random.fold_in(self._key_b, c))
 
     def _aes_words(self, count: int):
         """count uint32 words from the AES-CTR stream (block counter advances
@@ -123,7 +161,10 @@ class RandomGenerator:
                 hi, lo, qtab["q"].reshape(lead + (L, 1)),
                 qtab["ratio_hi"].reshape(lead + (L, 1)),
                 qtab["ratio_lo"].reshape(lead + (L, 1)))
-        return _uniform_from_key(self._next_key(), shape, qtab)
+        L = qtab["q"].shape[0]
+        bits = _bits2(self._next_keys(),
+                      (2,) + tuple(shape[:-2]) + (L, shape[-1]))
+        return _uniform_from_bits(bits, shape, qtab)
 
     def sample_ternary(self, shape_n, qtab: dict) -> jnp.ndarray:
         if self.mode == "aes":
@@ -139,7 +180,7 @@ class RandomGenerator:
             e = r[..., None, :]
             return jnp.where(e == 2, q - U.U32(1),
                              jnp.broadcast_to(e, e.shape[:-2] + (L, e.shape[-1])))
-        return _ternary_from_key(self._next_key(), shape_n, qtab)
+        return _ternary_from_bits(_bits2(self._next_keys(), tuple(shape_n)), qtab)
 
     def sample_cbd(self, shape_n, qtab: dict) -> jnp.ndarray:
         if self.mode == "aes":
@@ -158,20 +199,31 @@ class RandomGenerator:
             lifted = jnp.where(ej < 0, q.astype(jnp.int32) + ej.astype(jnp.int32),
                                jnp.broadcast_to(ej, ej.shape[:-2] + (L, ej.shape[-1])).astype(jnp.int32))
             return lifted.astype(jnp.uint32)
-        return _cbd_from_key(self._next_key(), shape_n, qtab)
+        bits = _bits2(self._next_keys(), (2,) + tuple(shape_n))
+        return _cbd_from_bits(bits, shape_n, qtab)
 
     def sample_cbd_signed(self, shape_n) -> jnp.ndarray:
         """Raw centered-binomial integers (int32), not limb-lifted."""
-        key = self._next_key()
-        bits = jax.random.bits(key, (2,) + tuple(shape_n), jnp.uint32)
+        bits = _bits2(self._next_keys(), (2,) + tuple(shape_n))
         a = jnp.bitwise_count(bits[0] & U.U32(_MASK21)).astype(jnp.int32)
         b = jnp.bitwise_count(bits[1] & U.U32(_MASK21)).astype(jnp.int32)
         return a - b
 
     def new_seed(self) -> int:
-        """A fresh 63-bit seed for compressed-ciphertext c1 regeneration."""
-        self._counter += 1
-        return (self.seed * 0x9E3779B97F4A7C15 + self._counter) & 0x7FFFFFFFFFFFFFFF
+        """A fresh nonzero 63-bit seed for compressed-ciphertext c1
+        regeneration.  One-way in the master seed (blake2b of seed, domain and
+        a counter): the published value reveals nothing about the PRF keys
+        (the reference likewise publishes PRF *output*, rlwe.cu
+        c1_prng.sample_uint64(), and rejects 0 as its 'no seed' sentinel)."""
+        while True:
+            self._seed_counter += 1
+            digest = hashlib.blake2b(
+                self._seed_bytes + self.domain.encode()
+                + self._seed_counter.to_bytes(8, "little"),
+                digest_size=8, person=b"troyseed").digest()
+            s = int.from_bytes(digest, "little") & _M63
+            if s != 0:
+                return s
 
 
 def uniform_from_seed(seed: int, shape, qtab: dict) -> jnp.ndarray:
