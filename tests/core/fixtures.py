@@ -48,7 +48,10 @@ class GeneralHeContext:
         return rng.integers(0, self.t, size=self.encoder.slot_count, dtype=np.uint64)
 
     def encrypt(self, values, asym=True):
-        pt = self.encoder.encode(values)
+        if self.scheme == SchemeType.CKKS:
+            pt = self.encoder.encode(values, scale=self.scale)
+        else:
+            pt = self.encoder.encode(values)
         return (self.encryptor.encrypt_asymmetric(pt) if asym
                 else self.encryptor.encrypt_symmetric(pt))
 

@@ -14,10 +14,18 @@ RNG = np.random.default_rng(3131)
 
 
 def test_coeff_modulus_bit_size_guard():
-    with pytest.raises(ValueError, match="bit size"):
-        CoeffModulus.create(1024, [40])
+    # too small for either path
     with pytest.raises(ValueError, match="bit size"):
         CoeffModulus.create(1024, [20])
+    # too large for the wide path
+    with pytest.raises(ValueError, match="bit size"):
+        CoeffModulus.create(1024, [61])
+    # fast-path and wide-path widths cannot mix in one chain
+    with pytest.raises(ValueError, match="bit size"):
+        CoeffModulus.create(1024, [30, 40])
+    # wide path (SEAL-default widths) is accepted
+    qs = CoeffModulus.create(1024, [40, 40])
+    assert [q.bit_count for q in qs] == [40, 40]
 
 
 def test_plain_modulus_width_guard():
@@ -75,10 +83,11 @@ def test_ckks_scale_mismatch_rejected():
 
 
 def test_relinearize_requires_size3():
+    # relinearize needs a size >= 3 ciphertext (arbitrary sizes supported)
     h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30, 30, 30))
     rlk = h.keygen.create_relin_keys()
     ct = h.encrypt(h.random_simd(RNG))
-    with pytest.raises(ValueError, match="size-3"):
+    with pytest.raises(ValueError, match=">= 3"):
         h.evaluator.relinearize(ct, rlk)
 
 

@@ -36,17 +36,23 @@ class Ciphertext:
         self.seed = seed
 
     # -- shape accessors (ref: ciphertext.h polynomial_count etc.) ----------
+    # data is (size, L, n) on the u32 fast path, (size, 2, L, n) on the wide
+    # u32-pair path (ops/rp.py layout): negative indexing serves both.
     @property
     def size(self) -> int:
         return 0 if self.data is None else self.data.shape[0]
 
     @property
+    def wide(self) -> bool:
+        return self.data is not None and self.data.ndim == 4
+
+    @property
     def coeff_modulus_size(self) -> int:
-        return 0 if self.data is None else self.data.shape[1]
+        return 0 if self.data is None else self.data.shape[-2]
 
     @property
     def poly_modulus_degree(self) -> int:
-        return 0 if self.data is None else self.data.shape[2]
+        return 0 if self.data is None else self.data.shape[-1]
 
     def poly(self, i: int) -> jnp.ndarray:
         return self.data[i]

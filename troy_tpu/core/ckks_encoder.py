@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .context import HeContext, ContextData
 from .params import ParmsID, SchemeType
 from .plaintext import Plaintext
-from ..ops import ntt as NTT
+from ..ops import ntt as NTT, rp as R
 
 
 class CKKSEncoder:
@@ -53,11 +53,33 @@ class CKKSEncoder:
 
     # ------------------------------------------------------------------
     def _coeffs_to_rns(self, coeffs: np.ndarray, cd: ContextData) -> np.ndarray:
-        """Centered integer coefficients (object array) -> (L, n) residues."""
+        """Centered integer coefficients (object array) -> (L, n) u32 residues
+        or ([2,] L, n) wide pairs for 40-60-bit prime sets."""
+        if cd.wide:
+            out = np.empty((2, cd.base_q.size, self.n), dtype=np.uint32)
+            for i, q in enumerate(cd.base_q.values):
+                res = [int(c) % q for c in coeffs]
+                out[0, i] = np.array([r >> 32 for r in res], dtype=np.uint32)
+                out[1, i] = np.array([r & 0xFFFFFFFF for r in res], dtype=np.uint32)
+            return out
         out = np.empty((cd.base_q.size, self.n), dtype=np.uint32)
         for i, q in enumerate(cd.base_q.values):
             out[i] = np.array([int(c) % q for c in coeffs], dtype=np.uint32)
         return out
+
+    @staticmethod
+    def _compose_centered(data, cd: ContextData) -> np.ndarray:
+        """RNS residues -> centered float64 coefficients (host CRT)."""
+        arr = np.asarray(data)
+        if cd.wide:
+            from ..ops.u64 import unpack64
+
+            arr = unpack64(arr[0], arr[1])
+        Q = cd.base_q.prod
+        composed = cd.base_q.compose_array_host(arr)
+        return np.array(
+            [float(v - Q) if v > Q // 2 else float(v) for v in composed]
+        )
 
     def encode(self, values, parms_id: ParmsID | None = None,
                scale: float = 2.0 ** 40) -> Plaintext:
@@ -76,7 +98,7 @@ class CKKSEncoder:
             raise ValueError("[CKKSEncoder.encode] scaled values exceed q/2")
         ints = [int(round(x)) for x in scaled]
         rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
-        data = NTT.ntt_forward(jnp.asarray(rns), cd.qtab())
+        data = R.ntt_forward(jnp.asarray(rns), cd.qtab())
         return Plaintext(data, parms_id=cd.parms_id, scale=scale, is_ntt_form=True)
 
     def encode_float64_polynomial(self, coeffs, parms_id: ParmsID | None = None,
@@ -89,7 +111,7 @@ class CKKSEncoder:
         c[: len(arr)] = arr
         ints = [int(round(x * scale)) for x in c]
         rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
-        data = NTT.ntt_forward(jnp.asarray(rns), cd.qtab())
+        data = R.ntt_forward(jnp.asarray(rns), cd.qtab())
         return Plaintext(data, parms_id=cd.parms_id, scale=scale, is_ntt_form=True)
 
     def encode_float64_single(self, value: float, parms_id: ParmsID | None = None,
@@ -112,7 +134,7 @@ class CKKSEncoder:
         cd = self.context.get_context_data(parms_id or self.context.first_parms_id)
         ints = [value] + [0] * (self.n - 1)
         rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
-        data = NTT.ntt_forward(jnp.asarray(rns), cd.qtab())
+        data = R.ntt_forward(jnp.asarray(rns), cd.qtab())
         return Plaintext(data, parms_id=cd.parms_id, scale=1.0, is_ntt_form=True)
 
     def decode_float64_polynomial(self, plain: Plaintext) -> np.ndarray:
@@ -120,13 +142,8 @@ class CKKSEncoder:
         cd = self.context.get_context_data(plain.parms_id)
         data = plain.data
         if plain.is_ntt_form:
-            data = NTT.ntt_inverse(data, cd.qtab())
-        arr = np.asarray(data)
-        Q = cd.base_q.prod
-        composed = cd.base_q.compose_array_host(arr)
-        centered = np.array(
-            [float(v - Q) if v > Q // 2 else float(v) for v in composed]
-        )
+            data = R.ntt_inverse(data, cd.qtab())
+        centered = self._compose_centered(data, cd)
         return centered / plain.scale
 
     # ------------------------------------------------------------------
@@ -135,13 +152,8 @@ class CKKSEncoder:
         cd = self.context.get_context_data(plain.parms_id)
         data = plain.data
         if plain.is_ntt_form:
-            data = NTT.ntt_inverse(data, cd.qtab())
-        arr = np.asarray(data)
-        Q = cd.base_q.prod
-        composed = cd.base_q.compose_array_host(arr)
-        centered = np.array(
-            [float(v - Q) if v > Q // 2 else float(v) for v in composed]
-        )
+            data = R.ntt_inverse(data, cd.qtab())
+        centered = self._compose_centered(data, cd)
         coeffs = centered / plain.scale
         ev = np.fft.ifft(coeffs * self._twist) * self.n
         return ev[self._idx]

@@ -37,6 +37,7 @@ _MAX_BITS = {
 }
 
 FAST_PATH_BIT_SIZES = (29, 30)
+WIDE_PATH_BIT_SIZES = tuple(range(31, 61))
 
 
 class CoeffModulus:
@@ -54,14 +55,20 @@ class CoeffModulus:
     @staticmethod
     def create(poly_modulus_degree: int, bit_sizes: list[int]) -> list[Modulus]:
         """Distinct NTT primes (≡ 1 mod 2n) of the given bit sizes
-        (ref: coeff_modulus.cu create).  Fast path allows sizes 29/30 only."""
-        for b in bit_sizes:
-            if b not in FAST_PATH_BIT_SIZES:
-                raise ValueError(
-                    f"[CoeffModulus.create] bit size {b} unsupported on the TPU "
-                    f"u32 fast path; use sizes in {FAST_PATH_BIT_SIZES} "
-                    "(more, smaller primes give the same budget)"
-                )
+        (ref: coeff_modulus.cu create).  Two residue widths are supported
+        through one API: all sizes in {29, 30} select the u32 fast path
+        (fastest on TPU); all sizes in 31..60 select the wide u32-pair path
+        (the reference's native SEAL-default widths, e.g. {60, 40, 40, 60}).
+        Mixing the two ranges in one set is rejected — the whole chain runs
+        at a single width."""
+        fast = all(b in FAST_PATH_BIT_SIZES for b in bit_sizes)
+        wide = all(b in WIDE_PATH_BIT_SIZES for b in bit_sizes)
+        if not (fast or wide):
+            raise ValueError(
+                f"[CoeffModulus.create] bit sizes {bit_sizes} invalid: use "
+                f"either all in {FAST_PATH_BIT_SIZES} (u32 fast path) or all "
+                "in 31..60 (wide path); the two widths cannot mix"
+            )
         out: list[Modulus] = []
         by_size: dict[int, int] = {}
         for b in bit_sizes:

@@ -39,17 +39,31 @@ class ContextData:
         n = parms.poly_modulus_degree
         self.log_n = n.bit_length() - 1
         moduli = parms.coeff_modulus
+        # residue width: all primes on the u32 fast path, or all on the wide
+        # u32-pair path (SEAL-default 40-60-bit sets; ref: the reference's
+        # single <=61-bit width, src/utils/basics.h:579)
+        self.wide = any(not m.fits_fast_path() for m in moduli)
         # qualifiers (ref: encryption_parameters.h:277 validate())
         for m in moduli:
             if not m.is_prime:
                 raise ValueError(f"[ContextData] coeff modulus {m.value} not prime")
-            if not m.fits_fast_path():
+            if self.wide:
+                if not m.fits_wide_path():
+                    raise ValueError(
+                        f"[ContextData] coeff modulus {m.value} outside the "
+                        "wide-path range (2^30, 2^61) — widths cannot mix"
+                    )
+            elif not m.fits_fast_path():
                 raise ValueError(
                     f"[ContextData] coeff modulus {m.value} outside the u32 "
                     "fast-path range [2^28, 2^30)"
                 )
             if m.value % (2 * n) != 1:
                 raise ValueError(f"[ContextData] modulus {m.value} is not NTT-friendly")
+        if self.wide and parms.plain_modulus.value >= (1 << 31):
+            raise ValueError(
+                "[ContextData] plain modulus must be < 2^31 (use ring2k for "
+                "wider plaintext moduli)")
         t = parms.plain_modulus
         if t.value and parms.scheme in (SchemeType.BFV, SchemeType.BGV):
             if any(m.value == t.value for m in moduli):
@@ -68,25 +82,41 @@ class ContextData:
         )
 
     @property
-    def ntt_tables(self) -> NTTTables:
+    def ntt_tables(self):
         if self._ntt_tables is None:
-            self._ntt_tables = NTTTables(self.log_n, self.parms.coeff_modulus)
+            if self.wide:
+                from ..ops.ntt64 import NTT64Tables
+
+                self._ntt_tables = NTT64Tables(
+                    self.log_n, [m.value for m in self.parms.coeff_modulus])
+            else:
+                self._ntt_tables = NTTTables(self.log_n, self.parms.coeff_modulus)
         return self._ntt_tables
 
     @property
-    def rns_tool(self) -> RNSTool:
+    def rns_tool(self):
         if self._rns_tool is None:
             t = self.parms.plain_modulus
             use_t = (
                 t if (t.value and self.parms.scheme != SchemeType.CKKS) else None
             )
-            self._rns_tool = RNSTool(self.log_n, self.base_q, use_t)
+            if self.wide:
+                from ..rns.rns_tool64 import RNSTool64
+
+                self._rns_tool = RNSTool64(self.log_n, self.base_q, use_t)
+            else:
+                self._rns_tool = RNSTool(self.log_n, self.base_q, use_t)
         return self._rns_tool
 
     @property
-    def scaler(self) -> BFVScaler | None:
+    def scaler(self):
         if self._scaler is None and self.parms.scheme == SchemeType.BFV and self.parms.plain_modulus.value:
-            self._scaler = BFVScaler(self.base_q, self.parms.plain_modulus)
+            if self.wide:
+                from ..rns.scaling import BFVScaler64
+
+                self._scaler = BFVScaler64(self.base_q, self.parms.plain_modulus)
+            else:
+                self._scaler = BFVScaler(self.base_q, self.parms.plain_modulus)
         return self._scaler
 
     @property

@@ -22,7 +22,7 @@ from .params import SchemeType
 from .plaintext import Plaintext
 from .ciphertext import Ciphertext
 from .keys import SecretKey
-from ..ops import ntt as NTT, poly as P, u32 as U
+from ..ops import ntt as NTT, poly as P, u32 as U, rp as R
 from ..utils import numth
 
 
@@ -35,7 +35,7 @@ class Decryptor:
     def _power(self, k: int) -> jnp.ndarray:
         if k not in self._sk_powers:
             cd = self.context.key_context_data()
-            self._sk_powers[k] = P.dyadic_product(
+            self._sk_powers[k] = R.dyadic_product(
                 self._power(k - 1), self.sk.data, cd.qtab()
             )
         return self._sk_powers[k]
@@ -46,24 +46,22 @@ class Decryptor:
         cd = self.context.get_context_data(ct.parms_id)
         qtab = cd.qtab()
         L = cd.coeff_modulus_size
-        q = qtab["q"][:, None]
         if ct.is_ntt_form:
             acc = ct.data[0]
             for i in range(1, ct.size):
-                acc = U.add_mod(
-                    acc, P.dyadic_product(ct.data[i], self._power(i)[:L], qtab), q
-                )
+                spow = self._power(i)[..., :L, :]
+                acc = R.add(acc, R.dyadic_product(ct.data[i], spow, qtab), qtab)
             if keep_ntt is False:
-                acc = NTT.ntt_inverse(acc, qtab)
+                acc = R.ntt_inverse(acc, qtab)
             return acc
         # coeff-form ct (BFV): NTT the c_i (i>=1), multiply, INTT, add c0
         acc = None
         for i in range(1, ct.size):
-            ci = NTT.ntt_forward(ct.data[i], qtab)
-            term = P.dyadic_product(ci, self._power(i)[:L], qtab)
-            acc = term if acc is None else U.add_mod(acc, term, q)
-        acc = NTT.ntt_inverse(acc, qtab)
-        return U.add_mod(acc, ct.data[0], q)
+            ci = R.ntt_forward(ct.data[i], qtab)
+            term = R.dyadic_product(ci, self._power(i)[..., :L, :], qtab)
+            acc = term if acc is None else R.add(acc, term, qtab)
+        acc = R.ntt_inverse(acc, qtab)
+        return R.add(acc, ct.data[0], qtab)
 
     # ------------------------------------------------------------------
     def decrypt(self, ct: Ciphertext) -> Plaintext:
@@ -108,6 +106,10 @@ class Decryptor:
         base = cd.base_q
         Q = base.prod
         norm = 0
+        if cd.wide:
+            from ..ops.u64 import unpack64
+
+            ph = unpack64(ph[0], ph[1])
         composed = base.compose_array_host(ph)
         for v in composed:
             w = (v * t) % Q

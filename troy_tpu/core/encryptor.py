@@ -19,7 +19,7 @@ from .plaintext import Plaintext
 from .ciphertext import Ciphertext
 from .keys import PublicKey, SecretKey
 from .rlwe import encrypt_zero_symmetric, encrypt_zero_asymmetric
-from ..ops import ntt as NTT, u32 as U
+from ..ops import ntt as NTT, u32 as U, rp as R
 from ..utils.random import RandomGenerator
 
 
@@ -104,18 +104,19 @@ class Encryptor:
     def _add_plain(self, ct: Ciphertext, plain: Plaintext, cd: ContextData) -> Ciphertext:
         scheme = cd.parms.scheme
         qtab = cd.qtab()
-        q = qtab["q"][:, None]
         if scheme == SchemeType.BFV:
-            if plain.coeff_modulus_size > 1:  # pre-lifted (ring2k scale-up)
+            is_rns = (plain.data.ndim >= 3 if cd.wide
+                      else plain.coeff_modulus_size > 1)
+            if is_rns:  # pre-lifted (ring2k scale-up)
                 delta_m = plain.data
             else:
                 delta_m = cd.scaler.scale_up(plain.data[0])
-            c0 = U.add_mod(ct.data[0], delta_m, q)
+            c0 = R.add(ct.data[0], delta_m, qtab)
         elif scheme == SchemeType.CKKS:
             if plain.parms_id != cd.parms_id:
                 raise ValueError("[Encryptor] CKKS plaintext level mismatch")
-            m = plain.data if plain.is_ntt_form else NTT.ntt_forward(plain.data, qtab)
-            c0 = U.add_mod(ct.data[0], m, q)
+            m = plain.data if plain.is_ntt_form else R.ntt_forward(plain.data, qtab)
+            c0 = R.add(ct.data[0], m, qtab)
             ct.scale = plain.scale
         elif scheme == SchemeType.BGV:
             pm = plain.data[0]
@@ -126,8 +127,8 @@ class Encryptor:
                 pm = U.mul_mod(pm, U.u32(ct.correction_factor % t.value),
                                U.u32(t.value), U.u32(t.ratio64_hi),
                                U.u32(t.ratio64_lo))
-            m = NTT.ntt_forward(_centralize_bgv(cd, pm), qtab)
-            c0 = U.add_mod(ct.data[0], m, q)
+            m = R.ntt_forward(_centralize_bgv(cd, pm), qtab)
+            c0 = R.add(ct.data[0], m, qtab)
         else:
             raise ValueError("[Encryptor] unsupported scheme")
         ct.data = ct.data.at[0].set(c0)
@@ -165,10 +166,10 @@ class Encryptor:
 def _centralize_bgv(cd: ContextData, m_mod_t):
     """Centered lift of a mod-t polynomial into the level's RNS base
     (shared by BGV encrypt/add_plain; ref: scaling_variant centralize)."""
-    from ..rns.scaling import BFVScaler
-
     scaler = getattr(cd, "_bgv_centralizer", None)
     if scaler is None:
-        scaler = BFVScaler(cd.base_q, cd.parms.plain_modulus)
+        from .evaluator import _make_centralizer
+
+        scaler = _make_centralizer(cd)
         cd._bgv_centralizer = scaler
     return scaler.centralize(m_mod_t)

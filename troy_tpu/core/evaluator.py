@@ -7,16 +7,21 @@ rotations over single-special-prime GHS keys), modswitch/rescale, and NTT
 transforms.  LWE extract/pack lives in core/lwe_ops.py; batched variants are
 leading-axis broadcasts of the same code paths.
 
-Every op is a pure function: inputs are Ciphertext wrappers around (size, L,
-n) u32 arrays; outputs are new Ciphertexts.  Per-level constants come from
-ContextData (lazily built, cached); jit compilation is cached by array shape,
-so each (level, size) pair compiles once — the XLA analog of the reference's
-per-level precomputed device tables (SURVEY.md §7 hard part (f)).
+Every op is a pure function and runs at either residue width through the
+width-polymorphic ops layer (ops/rp.py): fast-path ciphertexts hold
+(size, L, n) u32 arrays, wide-path (SEAL-default 40-60-bit prime) ciphertexts
+hold (size, 2, L, n) u32-pair arrays — one Evaluator serves both, like the
+reference's single <=61-bit width (src/utils/basics.h:579).  Per-level
+constants come from ContextData (lazily built, cached); jit compilation is
+cached by array shape, so each (level, size) pair compiles once — the XLA
+analog of the reference's per-level precomputed device tables (SURVEY.md §7
+hard part (f)).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .context import HeContext, ContextData
@@ -24,20 +29,19 @@ from .params import SchemeType, ParmsID, PARMS_ID_ZERO
 from .plaintext import Plaintext
 from .ciphertext import Ciphertext
 from .keys import KSwitchKeys, RelinKeys, GaloisKeys
-from ..ops import ntt as NTT, poly as P, u32 as U
-from ..ops.dyadic import (
-    dyadic_convolute,
-    dyadic_square,
-    dyadic_broadcast_product,
-)
+from ..ops import ntt as NTT, poly as P, u32 as U, u64 as W, rp as R
 from ..ops.galois import GaloisTool
-from ..rns.scaling import BFVScaler
 from ..utils import numth
 
-
-import jax
-
 from .lwe_ops import LweOpsMixin
+
+
+def _make_centralizer(cd: ContextData):
+    """Width-appropriate scaler used for BGV centered lifts."""
+    from ..rns.scaling import BFVScaler, BFVScaler64
+
+    cls = BFVScaler64 if cd.wide else BFVScaler
+    return cls(cd.base_q, cd.parms.plain_modulus)
 
 
 class Evaluator(LweOpsMixin):
@@ -71,10 +75,10 @@ class Evaluator(LweOpsMixin):
         if ct1.is_ntt_form != ct2.is_ntt_form:
             raise ValueError(f"[Evaluator.{op}] NTT form mismatch")
 
-    def _centralizer(self, cd: ContextData) -> BFVScaler:
+    def _centralizer(self, cd: ContextData):
         s = getattr(cd, "_bgv_centralizer", None)
         if s is None:
-            s = BFVScaler(cd.base_q, cd.parms.plain_modulus)
+            s = _make_centralizer(cd)
             cd._bgv_centralizer = s
         return s
 
@@ -84,7 +88,7 @@ class Evaluator(LweOpsMixin):
     def negate(self, ct: Ciphertext) -> Ciphertext:
         cd = self._cd(ct)
         out = ct.clone()
-        out.data = P.negate(ct.data, cd.qtab())
+        out.data = R.negate(ct.data, cd.qtab())
         return out
 
     def _balance_bgv(self, ct1: Ciphertext, ct2: Ciphertext, cd: ContextData):
@@ -100,8 +104,8 @@ class Evaluator(LweOpsMixin):
         e1, e2 = f2 // g, f1 // g
         a = ct1.clone()
         b = ct2.clone()
-        a.data = P.multiply_scalar(ct1.data, e1 % t, cd.qtab())
-        b.data = P.multiply_scalar(ct2.data, e2 % t, cd.qtab())
+        a.data = R.multiply_scalar(ct1.data, e1 % t, cd.qtab())
+        b.data = R.multiply_scalar(ct2.data, e2 % t, cd.qtab())
         f = f1 * e1 % t
         a.correction_factor = b.correction_factor = f
         return a, b, f
@@ -123,7 +127,7 @@ class Evaluator(LweOpsMixin):
             small.data = jnp.concatenate([small.data, pad])
             ct1, ct2 = big, small
         out = ct1.clone()
-        out.data = P.add(ct1.data, ct2.data, cd.qtab())
+        out.data = R.add(ct1.data, ct2.data, cd.qtab())
         return out
 
     def sub(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
@@ -133,43 +137,49 @@ class Evaluator(LweOpsMixin):
     # plaintext translate (ref: evaluator_translate_plain.cu)
     # ==================================================================
     def _plain_to_level(self, plain: Plaintext, cd: ContextData, ntt: bool):
-        """Lift a plaintext to (L, n) RNS at cd's level (centered), optionally
-        NTT form.  Plaintexts already in RNS form (CKKS, or ring2k
-        scale-up/centralize outputs with a non-zero parms_id) pass through."""
+        """Lift a plaintext to RNS at cd's level (centered), optionally NTT
+        form.  Plaintexts already in RNS form (CKKS, or ring2k scale-up /
+        centralize outputs with a non-zero parms_id) pass through."""
         scheme = cd.parms.scheme
-        if scheme == SchemeType.CKKS or plain.coeff_modulus_size > 1:
+        if scheme == SchemeType.CKKS or self._is_rns_plain(plain, cd):
             data = plain.data
             if ntt and not plain.is_ntt_form:
-                data = NTT.ntt_forward(data, cd.qtab())
+                data = R.ntt_forward(data, cd.qtab())
             if not ntt and plain.is_ntt_form:
-                data = NTT.ntt_inverse(data, cd.qtab())
+                data = R.ntt_inverse(data, cd.qtab())
             return data
         lifted = self._centralizer(cd).centralize(plain.data[0])
-        return NTT.ntt_forward(lifted, cd.qtab()) if ntt else lifted
+        return R.ntt_forward(lifted, cd.qtab()) if ntt else lifted
+
+    def _is_rns_plain(self, plain: Plaintext, cd: ContextData) -> bool:
+        """True for RNS-form plaintexts (CKKS / ring2k scale-up), False for
+        single-limb mod-t coefficient form."""
+        if cd.wide:
+            return plain.data.ndim >= 3
+        return plain.coeff_modulus_size > 1
 
     def add_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
         cd = self._cd(ct)
         scheme = cd.parms.scheme
         qtab = cd.qtab()
-        q = qtab["q"][:, None]
         out = ct.clone()
         if scheme == SchemeType.BFV:
-            if plain.coeff_modulus_size > 1:  # ring2k scale-up form
+            if self._is_rns_plain(plain, cd):  # ring2k scale-up form
                 delta_m = plain.data
             else:
                 delta_m = cd.scaler.scale_up(plain.data[0])
-            out.data = out.data.at[0].set(U.add_mod(ct.data[0], delta_m, q))
+            out.data = out.data.at[0].set(R.add(ct.data[0], delta_m, qtab))
         elif scheme == SchemeType.CKKS:
             m = self._plain_to_level(plain, cd, ntt=True)
-            out.data = out.data.at[0].set(U.add_mod(ct.data[0], m, q))
+            out.data = out.data.at[0].set(R.add(ct.data[0], m, qtab))
         elif scheme == SchemeType.BGV:
             t = cd.parms.plain_modulus
             pm = plain.data[0]
             if ct.correction_factor != 1:
                 pm = U.mul_mod(pm, U.u32(ct.correction_factor % t.value),
                                U.u32(t.value), U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
-            m = NTT.ntt_forward(self._centralizer(cd).centralize(pm), qtab)
-            out.data = out.data.at[0].set(U.add_mod(ct.data[0], m, q))
+            m = R.ntt_forward(self._centralizer(cd).centralize(pm), qtab)
+            out.data = out.data.at[0].set(R.add(ct.data[0], m, qtab))
         return out
 
     def sub_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
@@ -184,16 +194,16 @@ class Evaluator(LweOpsMixin):
         out = ct.clone()
         if scheme == SchemeType.BFV:
             m_ntt = self._plain_to_level(plain, cd, ntt=True)
-            ct_ntt = NTT.ntt_forward(ct.data, qtab)
-            prod = dyadic_broadcast_product(ct_ntt, m_ntt, qtab)
-            out.data = NTT.ntt_inverse(prod, qtab)
+            ct_ntt = R.ntt_forward(ct.data, qtab)
+            prod = R.dyadic_broadcast_product(ct_ntt, m_ntt, qtab)
+            out.data = R.ntt_inverse(prod, qtab)
         elif scheme == SchemeType.CKKS:
             m_ntt = self._plain_to_level(plain, cd, ntt=True)
-            out.data = dyadic_broadcast_product(ct.data, m_ntt, qtab)
+            out.data = R.dyadic_broadcast_product(ct.data, m_ntt, qtab)
             out.scale = ct.scale * plain.scale
         elif scheme == SchemeType.BGV:
             m_ntt = self._plain_to_level(plain, cd, ntt=True)
-            out.data = dyadic_broadcast_product(ct.data, m_ntt, qtab)
+            out.data = R.dyadic_broadcast_product(ct.data, m_ntt, qtab)
         return out
 
     # ==================================================================
@@ -207,7 +217,7 @@ class Evaluator(LweOpsMixin):
             return self._bfv_multiply(ct1, ct2, cd)
         qtab = cd.qtab()
         out = ct1.clone()
-        out.data = dyadic_convolute(ct1.data, ct2.data, qtab)
+        out.data = R.dyadic_convolute(ct1.data, ct2.data, qtab)
         if scheme == SchemeType.CKKS:
             out.scale = ct1.scale * ct2.scale
         else:  # BGV (ref: evaluator.cu:146 correction-factor bookkeeping)
@@ -221,7 +231,7 @@ class Evaluator(LweOpsMixin):
             return self._bfv_multiply(ct, ct, cd)
         qtab = cd.qtab()
         out = ct.clone()
-        out.data = dyadic_square(ct.data, qtab)
+        out.data = R.dyadic_square(ct.data, qtab)
         if cd.parms.scheme == SchemeType.CKKS:
             out.scale = ct.scale * ct.scale
         else:
@@ -252,7 +262,7 @@ class Evaluator(LweOpsMixin):
 
     def bfv_multiply_impl(self, cd: ContextData, x1: jnp.ndarray,
                           x2: jnp.ndarray | None) -> jnp.ndarray:
-        """Pure traceable BEHZ multiply on raw (..., size, L, n) arrays;
+        """Pure traceable BEHZ multiply on raw (..., size, [2,] L, n) arrays;
         x2=None squares x1.  Shared by the jitted per-level kernel and the
         batched/parallel composites (parallel/batched.py)."""
         import jax as _jax
@@ -275,21 +285,21 @@ class Evaluator(LweOpsMixin):
             d_b = fused_negacyclic_multiply(x1_b, x2_b, btab)   # steps 3-5 (Bsk)
         else:
             def prep(x):
-                x_q = NTT.ntt_forward(x, qtab)                  # step 3 (q)
+                x_q = R.ntt_forward(x, qtab)                    # step 3 (q)
                 x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)        # steps 1-2
-                return x_q, NTT.ntt_forward(x_b, btab)          # step 3 (Bsk)
+                return x_q, R.ntt_forward(x_b, btab)            # step 3 (Bsk)
 
             a_q, a_b = prep(x1)
             if x2 is None:
-                d_q, d_b = dyadic_square(a_q, qtab), dyadic_square(a_b, btab)
+                d_q, d_b = R.dyadic_square(a_q, qtab), R.dyadic_square(a_b, btab)
             else:
                 b_q, b_b = prep(x2)
-                d_q = dyadic_convolute(a_q, b_q, qtab)          # step 4
-                d_b = dyadic_convolute(a_b, b_b, btab)
-            d_q = NTT.ntt_inverse(d_q, qtab)                    # step 5
-            d_b = NTT.ntt_inverse(d_b, btab)
-        d_q = P.multiply_scalar(d_q, t, qtab)                   # x t
-        d_b = P.multiply_scalar(d_b, t, btab)
+                d_q = R.dyadic_convolute(a_q, b_q, qtab)        # step 4
+                d_b = R.dyadic_convolute(a_b, b_b, btab)
+            d_q = R.ntt_inverse(d_q, qtab)                      # step 5
+            d_b = R.ntt_inverse(d_b, btab)
+        d_q = R.multiply_scalar(d_q, t, qtab)                   # x t
+        d_b = R.multiply_scalar(d_b, t, btab)
         return tool.fast_floor_fast_b_conv_sk(d_q, d_b)         # steps 6-8
 
     # ==================================================================
@@ -309,9 +319,42 @@ class Evaluator(LweOpsMixin):
         otab = NTT.take_tables(ktab, idx)
         q_sp = key_cd.parms.coeff_modulus[-1].value
         q_values = [m.value for m in cd.parms.coeff_modulus]
-        inv = np.array([numth.invert_mod(q_sp % q, q) for q in q_values], np.uint32)
+        inv = [numth.invert_mod(q_sp % q, q) for q in q_values]
+        if cd.wide:
+            from ..rns.rns_base import _pair_cols
+            from ..rns.rns_tool64 import _ratio_cols
+
+            o_values = [q_values[i] if i < L else q_sp for i in range(L + 1)]
+            cache = dict(
+                idx=idx,
+                otab=otab,
+                sp_tab=NTT.slice_tables(ktab, L_key - 1, L_key),
+                q_sp=q_sp,
+                o_cols=_pair_cols([key_cd.parms.coeff_modulus[i].value
+                                   for i in idx]),
+                o_ratio=_ratio_cols([key_cd.parms.coeff_modulus[i].value
+                                     for i in idx]),
+                sp_cols=_pair_cols([q_sp]),
+                sp_ratio=_ratio_cols([q_sp]),
+                sp_half_cols=_pair_cols([q_sp >> 1]),
+                sp_half_mod_q=_pair_cols([(q_sp >> 1) % q for q in q_values]),
+                sp_mod_q=_pair_cols([q_sp % q for q in q_values]),
+                inv_sp_mod_q=_pair_cols(inv),
+                inv_sp_mod_q_shoup=_pair_cols(
+                    [(v << 64) // q for v, q in zip(inv, q_values)]),
+                q_cols=_pair_cols(q_values),
+                q_ratio=_ratio_cols(q_values),
+                max_terms=W.dot_mod64_terms(max(o_values)),
+            )
+            if cd.parms.scheme == SchemeType.BGV:
+                t = cd.parms.plain_modulus.value
+                cache["inv_t_mod_sp"] = _pair_cols(
+                    [numth.invert_mod(t % q_sp, q_sp)])
+            cd._switch_cache = cache
+            return cache
+        inv_np = np.array(inv, np.uint32)
         inv_sh = np.array(
-            [(int(i) << 32) // q for i, q in zip(inv.tolist(), q_values)], np.uint64
+            [(int(i) << 32) // q for i, q in zip(inv, q_values)], np.uint64
         ).astype(np.uint32)
         cache = dict(
             idx=idx,
@@ -322,7 +365,7 @@ class Evaluator(LweOpsMixin):
             sp_half_mod_q=jnp.asarray(
                 np.array([(q_sp >> 1) % q for q in q_values], np.uint32)
             )[:, None],
-            inv_sp_mod_q=jnp.asarray(inv)[:, None],
+            inv_sp_mod_q=jnp.asarray(inv_np)[:, None],
             inv_sp_mod_q_shoup=jnp.asarray(inv_sh)[:, None],
             sp_mod_q=jnp.asarray(
                 np.array([q_sp % q for q in q_values], np.uint32)
@@ -353,10 +396,12 @@ class Evaluator(LweOpsMixin):
 
     def _switch_key_impl(self, cd: ContextData, target_coeff: jnp.ndarray,
                          keys: jnp.ndarray, out_ntt: bool) -> jnp.ndarray:
-        """Core keyswitch: target (..., L, n) coeff-domain poly, keys
-        (decomp_key, 2, L_key, n) NTT @ key level -> (..., 2, L, n);
+        """Core keyswitch: target (..., [2,] L, n) coeff-domain poly, keys
+        (decomp_key, 2, [2,] L_key, n) NTT @ key level -> (..., 2, [2,] L, n);
         arbitrary leading batch axes broadcast
         (ref: evaluator_keyswitching_core.cu, fgk/switch_key.cu)."""
+        if cd.wide:
+            return self._switch_key_impl_wide(cd, target_coeff, keys, out_ntt)
         sw = self._switch_tables(cd)
         L = cd.coeff_modulus_size
         otab = sw["otab"]
@@ -410,17 +455,93 @@ class Evaluator(LweOpsMixin):
         diff = U.sub_mod(body, tmp, lq)
         return U.shoup_mul(diff, sw["inv_sp_mod_q"], sw["inv_sp_mod_q_shoup"], lq)
 
+    def _switch_key_impl_wide(self, cd: ContextData, target_coeff: jnp.ndarray,
+                              keys: jnp.ndarray, out_ntt: bool) -> jnp.ndarray:
+        """Wide-width keyswitch: target (..., 2, L, n) pair array, keys
+        (decomp_key, 2, 2, L_key, n) -> (..., 2, 2, L, n).  Digits ARE
+        Barrett-reduced per output prime — wide prime sets mix sizes, so the
+        fast path's q_i < 2*p_j lazy-digit shortcut does not apply
+        (ref: fgk/switch_key.cu set_accumulate does the same reduction)."""
+        from ..ops import ntt64 as N64
+
+        sw = self._switch_tables(cd)
+        L = cd.coeff_modulus_size
+        otab = sw["otab"]
+        O = L + 1
+        n = target_coeff.shape[-1]
+        lead = target_coeff.shape[:-3]
+        th, tl = R.hi_lo(target_coeff)
+        dh = jnp.broadcast_to(th[..., :, None, :], lead + (L, O, n))
+        dl = jnp.broadcast_to(tl[..., :, None, :], lead + (L, O, n))
+        oh, ol = sw["o_cols"]
+        Dh, Dl = W.barrett_reduce_u64(dh, dl, oh, ol, *sw["o_ratio"])
+        Dh, Dl = N64.ntt_forward64(Dh, Dl, otab)
+        keys_sel = keys[:L][:, :, :, jnp.asarray(sw["idx"]), :]  # (L,2,2,O,n)
+        pairs = [
+            ((Dh[..., i, None, :, :], Dl[..., i, None, :, :]),
+             (keys_sel[i][:, 0], keys_sel[i][:, 1]))
+            for i in range(L)
+        ]
+        ah, al = W.dot_mod64(pairs, oh, ol, *sw["o_ratio"], sw["max_terms"])
+        # ah/al: (..., 2, O, n); divide by the special prime (NTT-domain)
+        lh, ll = N64.ntt_inverse64(ah[..., L:, :], al[..., L:, :], sw["sp_tab"])
+        qtab = cd.qtab()
+        qh, ql = sw["q_cols"]
+        body_shape = lead + (2, L, n)
+        if cd.parms.scheme == SchemeType.BGV:
+            t_val = cd.parms.plain_modulus.value
+            hh, hl = W.mul_mod64(lh, ll, sw["inv_t_mod_sp"][0],
+                                 sw["inv_t_mod_sp"][1], *sw["sp_cols"],
+                                 *sw["sp_ratio"])
+            bh = jnp.broadcast_to(hh, body_shape)
+            bl = jnp.broadcast_to(hl, body_shape)
+            mh, ml = W.barrett_reduce_u64(bh, bl, qh, ql, *sw["q_ratio"])
+            ch, cl = W.sub_mod64(mh, ml, sw["sp_mod_q"][0], sw["sp_mod_q"][1],
+                                 qh, ql)
+            sph = (sw["q_sp"] >> 1) + 1  # h > q_sp/2 (centering)
+            big = W.geq64(bh, bl, U.U32(sph >> 32), U.U32(sph & 0xFFFFFFFF))
+            hch = jnp.where(big, ch, mh)
+            hcl = jnp.where(big, cl, ml)
+            th_, tl_ = W.mul_mod64(hch, hcl, U.U32(0), U.U32(t_val), qh, ql,
+                                   *sw["q_ratio"])
+        else:
+            ph, pl = W.add_mod64(lh, ll, sw["sp_half_cols"][0],
+                                 sw["sp_half_cols"][1], *sw["sp_cols"])
+            bh = jnp.broadcast_to(ph, body_shape)
+            bl = jnp.broadcast_to(pl, body_shape)
+            th_, tl_ = W.barrett_reduce_u64(bh, bl, qh, ql, *sw["q_ratio"])
+            th_, tl_ = W.sub_mod64(th_, tl_, sw["sp_half_mod_q"][0],
+                                   sw["sp_half_mod_q"][1], qh, ql)
+        if out_ntt:
+            th_, tl_ = N64.ntt_forward64(th_, tl_, qtab)
+            dh_, dl_ = W.sub_mod64(ah[..., :L, :], al[..., :L, :], th_, tl_,
+                                   qh, ql)
+        else:
+            bh_, bl_ = N64.ntt_inverse64(ah[..., :L, :], al[..., :L, :], qtab)
+            dh_, dl_ = W.sub_mod64(bh_, bl_, th_, tl_, qh, ql)
+        res = W.shoup_mul64(dh_, dl_, sw["inv_sp_mod_q"][0],
+                            sw["inv_sp_mod_q"][1], sw["inv_sp_mod_q_shoup"][0],
+                            sw["inv_sp_mod_q_shoup"][1], qh, ql)
+        # (..., 2 polys, L, n) hi/lo -> (..., 2 polys, 2, L, n)
+        return jnp.stack([res[0], res[1]], axis=-3)
+
     def relinearize(self, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
-        """size-3 -> size-2 (ref: evaluator_keyswitching.cu:96)."""
-        if ct.size != 3:
-            raise ValueError("[Evaluator.relinearize] only size-3 supported")
+        """size-s -> size-2: switch every poly c_k (k >= 2) with the key for
+        s^k and fold into (c0, c1) (ref: evaluator_keyswitching.cu:96
+        relinearize_inplace_internal, arbitrary destination_size=2)."""
+        if ct.size < 3:
+            raise ValueError("[Evaluator.relinearize] ciphertext size must be >= 3")
         cd = self._cd(ct)
-        target = ct.data[2]
-        if ct.is_ntt_form:
-            target = NTT.ntt_inverse(target, cd.qtab())
-        sw = self._switch_key(cd, target, rlk.key(2), out_ntt=ct.is_ntt_form)
+        qtab = cd.qtab()
+        acc = None
+        for k in range(2, ct.size):
+            target = ct.data[k]
+            if ct.is_ntt_form:
+                target = R.ntt_inverse(target, qtab)
+            sw = self._switch_key(cd, target, rlk.key(k), out_ntt=ct.is_ntt_form)
+            acc = sw if acc is None else R.add(acc, sw, qtab)
         out = ct.clone()
-        out.data = P.add(ct.data[:2], sw, cd.qtab())
+        out.data = R.add(ct.data[:2], acc, qtab)
         return out
 
     def apply_keyswitching(self, ct: Ciphertext, ksk: KSwitchKeys) -> Ciphertext:
@@ -431,10 +552,10 @@ class Evaluator(LweOpsMixin):
         cd = self._cd(ct)
         target = ct.data[1]
         if ct.is_ntt_form:
-            target = NTT.ntt_inverse(target, cd.qtab())
+            target = R.ntt_inverse(target, cd.qtab())
         sw = self._switch_key(cd, target, ksk.get(0), out_ntt=ct.is_ntt_form)
         out = ct.clone()
-        c0 = U.add_mod(sw[0], ct.data[0], cd.qtab()["q"][:, None])
+        c0 = R.add(sw[0], ct.data[0], cd.qtab())
         out.data = jnp.stack([c0, sw[1]])
         return out
 
@@ -449,13 +570,13 @@ class Evaluator(LweOpsMixin):
         if ct.is_ntt_form:
             c0g = tool.apply_ntt(ct.data[0], galois_elt)
             c1g = tool.apply_ntt(ct.data[1], galois_elt)
-            target = NTT.ntt_inverse(c1g, qtab)
+            target = R.ntt_inverse(c1g, qtab)
         else:
             c0g = tool.apply_coeff(ct.data[0], galois_elt, qtab)
             target = tool.apply_coeff(ct.data[1], galois_elt, qtab)
         sw = self._switch_key(cd, target, glk.key(galois_elt), out_ntt=ct.is_ntt_form)
         out = ct.clone()
-        c0 = U.add_mod(sw[0], c0g, qtab["q"][:, None])
+        c0 = R.add(sw[0], c0g, qtab)
         out.data = jnp.stack([c0, sw[1]])
         return out
 
@@ -504,7 +625,7 @@ class Evaluator(LweOpsMixin):
             out.data = cd.rns_tool.divide_and_round_q_last(ct.data)
         elif scheme == SchemeType.CKKS:
             # CKKS modswitch without rescale = drop the last limb
-            out.data = ct.data[:, :-1, :]
+            out.data = ct.data[..., :-1, :]
         else:  # BGV
             out.data = cd.rns_tool.mod_t_and_divide_q_last_ntt(ct.data, cd.qtab())
             t = cd.parms.plain_modulus.value
@@ -544,7 +665,7 @@ class Evaluator(LweOpsMixin):
         """CKKS NTT-form plaintext: drop last limb (ref: mod_switch_drop_to_plain)."""
         cd = self._cd(plain)
         out = plain.clone()
-        out.data = plain.data[:-1, :]
+        out.data = plain.data[..., :-1, :]
         out.parms_id = cd.next.parms_id
         return out
 
@@ -556,7 +677,7 @@ class Evaluator(LweOpsMixin):
             raise ValueError("[Evaluator.transform_to_ntt] already NTT form")
         cd = self._cd(ct)
         out = ct.clone()
-        out.data = NTT.ntt_forward(ct.data, cd.qtab())
+        out.data = R.ntt_forward(ct.data, cd.qtab())
         out.is_ntt_form = True
         return out
 
@@ -565,7 +686,7 @@ class Evaluator(LweOpsMixin):
             raise ValueError("[Evaluator.transform_from_ntt] not NTT form")
         cd = self._cd(ct)
         out = ct.clone()
-        out.data = NTT.ntt_inverse(ct.data, cd.qtab())
+        out.data = R.ntt_inverse(ct.data, cd.qtab())
         out.is_ntt_form = False
         return out
 
@@ -574,7 +695,7 @@ class Evaluator(LweOpsMixin):
         (ref: evaluator_transform_ntt.cu:35)."""
         cd = self.context.get_context_data(parms_id)
         lifted = self._centralizer(cd).centralize(plain.data[0])
-        return Plaintext(NTT.ntt_forward(lifted, cd.qtab()), parms_id=parms_id,
+        return Plaintext(R.ntt_forward(lifted, cd.qtab()), parms_id=parms_id,
                          is_ntt_form=True, scale=plain.scale)
 
     # ==================================================================
@@ -597,7 +718,7 @@ class Evaluator(LweOpsMixin):
         if not plain.is_ntt_form:
             raise ValueError("[Evaluator.transform_plain_from_ntt] not NTT form")
         cd = self._cd(plain)
-        return Plaintext(NTT.ntt_inverse(plain.data, cd.qtab()),
+        return Plaintext(R.ntt_inverse(plain.data, cd.qtab()),
                          parms_id=plain.parms_id, scale=plain.scale,
                          is_ntt_form=False)
 
@@ -605,8 +726,11 @@ class Evaluator(LweOpsMixin):
         """Automorphism on a plaintext (ref: evaluator.h apply_galois_plain).
         mod-t plaintexts permute with sign mod t; RNS plaintexts per limb."""
         out = plain.clone()
-        if plain.parms_id == PARMS_ID_ZERO or plain.coeff_modulus_size == 1:
-            cd = self.context.first_context_data()
+        cd0 = self.context.first_context_data()
+        is_mod_t = plain.parms_id == PARMS_ID_ZERO or (
+            not cd0.wide and plain.coeff_modulus_size == 1)
+        if is_mod_t:
+            cd = cd0
             tool = GaloisTool.for_context(cd)
             t = cd.parms.plain_modulus
             ttab = {"q": jnp.asarray(np.array([t.value], dtype=np.uint32))}
@@ -672,13 +796,13 @@ class Evaluator(LweOpsMixin):
             out = self.negacyclic_shift(tmp, shift)
             return self.transform_to_ntt(out)
         out = ct.clone()
-        out.data = P.negacyclic_shift(ct.data, shift, cd.qtab())
+        out.data = R.negacyclic_shift(ct.data, shift, cd.qtab())
         return out
 
     # ==================================================================
     # batched variants (ref: the *_batched API family, SURVEY.md §2.10;
-    # here: stack ciphertext lists into one (B, size, L, n) array and run
-    # the broadcast kernels once — the TPU-native replacement for the
+    # here: stack ciphertext lists into one (B, size, [2,] L, n) array and
+    # run the broadcast kernels once — the TPU-native replacement for the
     # reference's blockIdx.y batch dimension)
     # ==================================================================
     def _stack(self, cts: list[Ciphertext]) -> jnp.ndarray:
@@ -694,22 +818,67 @@ class Evaluator(LweOpsMixin):
             out.append(ct)
         return out
 
-    def add_batched(self, cts1: list[Ciphertext], cts2: list[Ciphertext]) -> list[Ciphertext]:
+    def _translate_batched(self, cts1, cts2, subtract: bool) -> list[Ciphertext]:
+        """Batched add/sub with the SAME semantics as the scalar paths:
+        CKKS scale validation and BGV correction-factor balancing
+        (ref: evaluator_translate.cu balance_correction_factors; the
+        _batched kernels there run the same balancing per element)."""
+        op = "sub_batched" if subtract else "add_batched"
+        if len(cts1) != len(cts2):
+            raise ValueError(f"[Evaluator.{op}] length mismatch")
         cd = self._cd(cts1[0])
-        res = P.add(self._stack(cts1), self._stack(cts2), cd.qtab())
-        return self._unstack(res, cts1[0], cts1)
+        scheme = cd.parms.scheme
+        for a, b in zip(cts1, cts2):
+            self._check_same(a, b, op)
+            if a.size != b.size:
+                raise ValueError(f"[Evaluator.{op}] size mismatch")
+        qtab = cd.qtab()
+        x1 = self._stack(cts1)
+        x2 = self._stack(cts2)
+        metas = cts1
+        if scheme == SchemeType.CKKS:
+            for a, b in zip(cts1, cts2):
+                if abs(a.scale - b.scale) > 0.5 * max(a.scale, b.scale) * 1e-9:
+                    raise ValueError(f"[Evaluator.{op}] CKKS scale mismatch")
+        elif scheme == SchemeType.BGV:
+            t = cd.parms.plain_modulus.value
+            e1, e2, fs = [], [], []
+            for a, b in zip(cts1, cts2):
+                f1, f2 = a.correction_factor, b.correction_factor
+                g = numth.gcd(f1, f2)
+                e1.append((f2 // g) % t)
+                e2.append((f1 // g) % t)
+                fs.append(f1 * (f2 // g) % t)
+            if any(v != 1 for v in e1 + e2):
+                # scalar per batch element, broadcast over (size, [2,] L, n)
+                lead = (-1,) + (1,) * 3
+                s1 = jnp.asarray(np.array(e1, np.uint32)).reshape(lead)
+                s2 = jnp.asarray(np.array(e2, np.uint32)).reshape(lead)
+                x1 = R.multiply_scalar(x1, s1, qtab)
+                x2 = R.multiply_scalar(x2, s2, qtab)
+            metas = []
+            for a, f in zip(cts1, fs):
+                m = a.clone()
+                m.correction_factor = f
+                metas.append(m)
+        res = R.sub(x1, x2, qtab) if subtract else R.add(x1, x2, qtab)
+        return self._unstack(res, cts1[0], metas)
+
+    def add_batched(self, cts1: list[Ciphertext], cts2: list[Ciphertext]) -> list[Ciphertext]:
+        return self._translate_batched(cts1, cts2, subtract=False)
 
     def sub_batched(self, cts1, cts2) -> list[Ciphertext]:
-        cd = self._cd(cts1[0])
-        res = U.sub_mod(self._stack(cts1), self._stack(cts2),
-                        cd.qtab()["q"][:, None])
-        return self._unstack(res, cts1[0], cts1)
+        return self._translate_batched(cts1, cts2, subtract=True)
 
     def negate_batched(self, cts) -> list[Ciphertext]:
         cd = self._cd(cts[0])
-        return self._unstack(P.negate(self._stack(cts), cd.qtab()), cts[0], cts)
+        return self._unstack(R.negate(self._stack(cts), cd.qtab()), cts[0], cts)
 
     def multiply_batched(self, cts1, cts2) -> list[Ciphertext]:
+        if len(cts1) != len(cts2):
+            raise ValueError("[Evaluator.multiply_batched] length mismatch")
+        for a, b in zip(cts1, cts2):
+            self._check_same(a, b, "multiply_batched")
         cd = self._cd(cts1[0])
         if cd.parms.scheme == SchemeType.BFV:
             cd.rns_tool.materialize()
@@ -717,7 +886,7 @@ class Evaluator(LweOpsMixin):
                            lambda: (lambda a, b: self.bfv_multiply_impl(cd, a, b)))
             res = fn(self._stack(cts1), self._stack(cts2))
         else:
-            res = dyadic_convolute(self._stack(cts1), self._stack(cts2), cd.qtab())
+            res = R.dyadic_convolute(self._stack(cts1), self._stack(cts2), cd.qtab())
         out = self._unstack(res, cts1[0], cts1)
         for o, a, b in zip(out, cts1, cts2):
             if cd.parms.scheme == SchemeType.CKKS:
@@ -728,27 +897,31 @@ class Evaluator(LweOpsMixin):
         return out
 
     def relinearize_batched(self, cts, rlk: RelinKeys) -> list[Ciphertext]:
+        if any(ct.size != 3 for ct in cts):
+            raise ValueError("[Evaluator.relinearize_batched] size-3 only "
+                             "(use relinearize for larger sizes)")
         cd = self._cd(cts[0])
         ntt_form = cts[0].is_ntt_form
         self._switch_tables(cd)
         stacked = self._stack(cts)
         target = stacked[:, 2]
         if ntt_form:
-            target = NTT.ntt_inverse(target, cd.qtab())
+            target = R.ntt_inverse(target, cd.qtab())
         sw = self._switch_key(cd, target, rlk.key(2), out_ntt=ntt_form)
-        res = P.add(stacked[:, :2], sw, cd.qtab())
+        res = R.add(stacked[:, :2], sw, cd.qtab())
         return self._unstack(res, cts[0], cts)
 
     def multiply_plain_batched(self, cts, plains) -> list[Ciphertext]:
         cd = self._cd(cts[0])
         qtab = cd.qtab()
         m_ntt = jnp.stack([self._plain_to_level(p, cd, ntt=True) for p in plains])
+        m_ntt = m_ntt[:, None]  # insert poly axis after the batch axis
         if cd.parms.scheme == SchemeType.BFV:
-            ct_ntt = NTT.ntt_forward(self._stack(cts), qtab)
-            prod = P.dyadic_product(ct_ntt, m_ntt[:, None], qtab)
-            res = NTT.ntt_inverse(prod, qtab)
+            ct_ntt = R.ntt_forward(self._stack(cts), qtab)
+            prod = R.dyadic_product(ct_ntt, m_ntt, qtab)
+            res = R.ntt_inverse(prod, qtab)
         else:
-            res = P.dyadic_product(self._stack(cts), m_ntt[:, None], qtab)
+            res = R.dyadic_product(self._stack(cts), m_ntt, qtab)
         out = self._unstack(res, cts[0], cts)
         if cd.parms.scheme == SchemeType.CKKS:
             for o, c, p in zip(out, cts, plains):

@@ -22,7 +22,7 @@ from .params import SchemeType
 from .keys import SecretKey, PublicKey, KSwitchKeys, RelinKeys, GaloisKeys
 from .ciphertext import Ciphertext
 from .rlwe import encrypt_zero_symmetric, _noise
-from ..ops import ntt as NTT, poly as P, u32 as U
+from ..ops import ntt as NTT, poly as P, u32 as U, u64 as W, rp as R
 from ..utils.random import RandomGenerator
 from ..utils import numth
 
@@ -42,7 +42,7 @@ class KeyGenerator:
             qtab = cd.qtab()
             n = cd.parms.poly_modulus_degree
             s = self.prng.sample_ternary((n,), qtab)
-            self._sk = SecretKey(NTT.ntt_forward(s, qtab), cd.parms_id)
+            self._sk = SecretKey(R.ntt_forward(s, qtab), cd.parms_id)
         self._sk_powers: dict[int, jnp.ndarray] = {1: self._sk.data}
 
     @property
@@ -55,7 +55,7 @@ class KeyGenerator:
             cd = self.context.key_context_data()
             qtab = cd.qtab()
             prev = self.secret_key_power(k - 1)
-            self._sk_powers[k] = P.dyadic_product(prev, self._sk.data, qtab)
+            self._sk_powers[k] = R.dyadic_product(prev, self._sk.data, qtab)
         return self._sk_powers[k]
 
     # ------------------------------------------------------------------
@@ -69,8 +69,8 @@ class KeyGenerator:
 
     # ------------------------------------------------------------------
     def _generate_one_kswitch_key(self, target_ntt: jnp.ndarray) -> jnp.ndarray:
-        """target_ntt: (L_key, n) NTT-form poly to switch from.
-        Returns (decomp, 2, L_key, n) (ref: key_generator.cu:136-157)."""
+        """target_ntt: ([2,] L_key, n) NTT-form poly to switch from.
+        Returns (decomp, 2, [2,] L_key, n) (ref: key_generator.cu:136-157)."""
         cd = self.context.key_context_data()
         if not self.context.using_keyswitching:
             raise ValueError("[KeyGenerator] context has no special prime")
@@ -83,24 +83,31 @@ class KeyGenerator:
         a = self.prng.sample_uniform((decomp, L_key, n), qtab)
         e = _noise(cd, self.prng, qtab, (decomp, n))
         s = self._sk.data
-        c0 = P.negate(
-            U.add_mod(
-                P.dyadic_product(a, s[None], qtab),
-                NTT.ntt_forward(e, qtab),
-                qtab["q"][None, :, None],
-            ),
+        c0 = R.negate(
+            R.add(R.dyadic_product(a, s[None], qtab),
+                  R.ntt_forward(e, qtab), qtab),
             qtab,
         )
         # add (q_sp mod q_i) * target at limb i of key i only
-        factors = np.array(
-            [q_sp % m.value for m in cd.parms.coeff_modulus], dtype=np.uint32
-        )
-        term = U.mul_mod(
-            target_ntt, jnp.asarray(factors)[:, None],
-            qtab["q"][:, None], qtab["ratio_hi"][:, None], qtab["ratio_lo"][:, None],
-        )  # (L_key, n)
-        mask = jnp.eye(decomp, L_key, dtype=bool)[:, :, None]
-        c0 = jnp.where(mask, U.add_mod(c0, term[None], qtab["q"][None, :, None]), c0)
+        factor_vals = [q_sp % m.value for m in cd.parms.coeff_modulus]
+        if cd.wide:
+            from ..rns.rns_base import _pair_cols
+
+            fh, fl = _pair_cols(factor_vals)
+            qh, ql = qtab["q_hi"][:, None], qtab["q_lo"][:, None]
+            r4 = (qtab["r3"][:, None], qtab["r2"][:, None],
+                  qtab["r1"][:, None], qtab["r0"][:, None])
+            term = R.pair(*W.mul_mod64(*R.hi_lo(target_ntt), fh, fl,
+                                       qh, ql, *r4))  # (2, L_key, n)
+            mask = jnp.eye(decomp, L_key, dtype=bool)[:, None, :, None]
+        else:
+            term = U.mul_mod(
+                target_ntt, jnp.asarray(np.array(factor_vals, np.uint32))[:, None],
+                qtab["q"][:, None], qtab["ratio_hi"][:, None],
+                qtab["ratio_lo"][:, None],
+            )  # (L_key, n)
+            mask = jnp.eye(decomp, L_key, dtype=bool)[:, :, None]
+        c0 = jnp.where(mask, R.add(c0, term[None], qtab), c0)
         return jnp.stack([c0, a], axis=1)
 
     # ------------------------------------------------------------------

@@ -67,6 +67,13 @@ class Modulus:
         """True if this modulus fits the u32 fast path (see module docstring)."""
         return MOD_MIN < self.value < MOD_MAX
 
+    def fits_wide_path(self) -> bool:
+        """True if this modulus fits the wide (u32-pair) path: (2^30, 2^61).
+        Matches the reference's native <=61-bit prime range (modulus.h); the
+        lower bound keeps every wide prime above any plain modulus and makes
+        the two paths disjoint."""
+        return MOD_MAX < self.value < (1 << 61)
+
     # -- host-side scalar modular arithmetic (ref: uint_small_mod.h) -------
     def reduce(self, x: int) -> int:
         return x % self.value

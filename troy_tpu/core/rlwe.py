@@ -6,8 +6,9 @@ TPU-native rebuild of reference src/utils/rlwe.{h,cu}:
 
 Scheme conventions (ref: ciphertext.h notes): BFV ciphertexts live in the
 coefficient domain, CKKS/BGV in the NTT domain; BGV noise is scaled by t.
-All functions return raw (2, L, n) arrays at the given context level; the
-Encryptor wraps them into Ciphertext objects.
+All functions return raw (2, [2,] L, n) arrays at the given context level
+(wide contexts carry the extra u32-pair word axis, ops/rp.py); the Encryptor
+wraps them into Ciphertext objects.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import jax.numpy as jnp
 
 from .params import SchemeType
 from .context import ContextData
-from ..ops import ntt as NTT, poly as P, u32 as U
+from ..ops import rp as R
 from ..utils.random import RandomGenerator, uniform_from_seed
 
 
@@ -25,7 +26,7 @@ def _noise(cd: ContextData, prng: RandomGenerator, qtab, shape_n):
     (ref: rlwe.cu noise sampling)."""
     e = prng.sample_cbd(shape_n, qtab)
     if cd.parms.scheme == SchemeType.BGV:
-        e = P.multiply_scalar(e, cd.parms.plain_modulus.value, qtab)
+        e = R.multiply_scalar(e, cd.parms.plain_modulus.value, qtab)
     return e
 
 
@@ -36,7 +37,7 @@ def encrypt_zero_symmetric(
     ntt_form: bool,
     seed: int | None = None,
 ) -> jnp.ndarray:
-    """(2, L, n) encryption of zero under s (ref: rlwe.h:7 symmetric).
+    """(2, [2,] L, n) encryption of zero under s (ref: rlwe.h:7 symmetric).
 
     If `seed` is given, c1 is regenerated deterministically from it
     (compressed-ciphertext contract, ciphertext.h:255).
@@ -44,19 +45,19 @@ def encrypt_zero_symmetric(
     qtab = cd.qtab()
     L = cd.coeff_modulus_size
     n = cd.parms.poly_modulus_degree
-    s = sk_data[:L]
+    s = sk_data[..., :L, :]
     if seed is not None:
         a_ntt = uniform_from_seed(seed, (L, n), qtab)
     else:
         a_ntt = prng.sample_uniform((L, n), qtab)
     e = _noise(cd, prng, qtab, (n,))
-    as_ntt = P.dyadic_product(a_ntt, s, qtab)
+    as_ntt = R.dyadic_product(a_ntt, s, qtab)
     if ntt_form:
-        c0 = P.negate(U.add_mod(as_ntt, NTT.ntt_forward(e, qtab), qtab["q"][:, None]), qtab)
+        c0 = R.negate(R.add(as_ntt, R.ntt_forward(e, qtab), qtab), qtab)
         c1 = a_ntt
     else:
-        c0 = P.negate(U.add_mod(NTT.ntt_inverse(as_ntt, qtab), e, qtab["q"][:, None]), qtab)
-        c1 = NTT.ntt_inverse(a_ntt, qtab)
+        c0 = R.negate(R.add(R.ntt_inverse(as_ntt, qtab), e, qtab), qtab)
+        c1 = R.ntt_inverse(a_ntt, qtab)
     return jnp.stack([c0, c1])
 
 
@@ -66,23 +67,22 @@ def encrypt_zero_asymmetric(
     prng: RandomGenerator,
     ntt_form: bool,
 ) -> jnp.ndarray:
-    """(2, L, n) encryption of zero under pk (ref: rlwe.h:45 asymmetric).
-    pk_data: (2, L_key, n) NTT form — sliced to this level's limbs."""
+    """(2, [2,] L, n) encryption of zero under pk (ref: rlwe.h:45 asymmetric).
+    pk_data: (2, [2,] L_key, n) NTT form — sliced to this level's limbs."""
     qtab = cd.qtab()
     L = cd.coeff_modulus_size
     n = cd.parms.poly_modulus_degree
-    pk = pk_data[:, :L]
+    pk = pk_data[..., :L, :]
     u = prng.sample_ternary((n,), qtab)
-    u_ntt = NTT.ntt_forward(u, qtab)
+    u_ntt = R.ntt_forward(u, qtab)
     e0 = _noise(cd, prng, qtab, (n,))
     e1 = _noise(cd, prng, qtab, (n,))
-    c0_ntt = P.dyadic_product(pk[0], u_ntt, qtab)
-    c1_ntt = P.dyadic_product(pk[1], u_ntt, qtab)
-    q = qtab["q"][:, None]
+    c0_ntt = R.dyadic_product(pk[0], u_ntt, qtab)
+    c1_ntt = R.dyadic_product(pk[1], u_ntt, qtab)
     if ntt_form:
-        c0 = U.add_mod(c0_ntt, NTT.ntt_forward(e0, qtab), q)
-        c1 = U.add_mod(c1_ntt, NTT.ntt_forward(e1, qtab), q)
+        c0 = R.add(c0_ntt, R.ntt_forward(e0, qtab), qtab)
+        c1 = R.add(c1_ntt, R.ntt_forward(e1, qtab), qtab)
     else:
-        c0 = U.add_mod(NTT.ntt_inverse(c0_ntt, qtab), e0, q)
-        c1 = U.add_mod(NTT.ntt_inverse(c1_ntt, qtab), e1, q)
+        c0 = R.add(R.ntt_inverse(c0_ntt, qtab), e0, qtab)
+        c1 = R.add(R.ntt_inverse(c1_ntt, qtab), e1, qtab)
     return jnp.stack([c0, c1])

@@ -81,12 +81,22 @@ class GaloisTool:
 
     # ------------------------------------------------------------------
     def apply_coeff(self, x: jnp.ndarray, g: int, qtab: dict) -> jnp.ndarray:
-        """Coefficient-domain automorphism on (..., L, n)
-        (ref: galois.cu apply_ps)."""
+        """Coefficient-domain automorphism on (..., L, n) u32 or
+        (..., 2, L, n) wide-pair arrays (ref: galois.cu apply_ps)."""
         if g not in self._coeff_tables:
             self._coeff_tables[g] = self._build_coeff(g)
         perm, neg = self._coeff_tables[g]
         gathered = jnp.take(x, perm, axis=-1)
+        if qtab.get("words", 1) == 2:
+            from . import u64 as W
+
+            qh = qtab["q_hi"][:, None]
+            ql = qtab["q_lo"][:, None]
+            h = gathered[..., 0, :, :]
+            l = gathered[..., 1, :, :]
+            nh, nl = W.neg_mod64(h, l, qh, ql)
+            return jnp.stack(
+                [jnp.where(neg, nh, h), jnp.where(neg, nl, l)], axis=-3)
         q = qtab["q"].reshape((1,) * (x.ndim - 2) + (-1, 1))
         return jnp.where(neg, U.neg_mod(gathered, q), gathered)
 

@@ -36,69 +36,90 @@ def _to_words(vals: list[int]):
 
 class NTT64Tables:
     """Per-(n, prime-list) twiddle tables at 64-bit width, stacked over the
-    limb axis.  Primes are python ints with 2n | q-1 and q < 2^62."""
+    limb axis.  Primes are python ints with 2n | q-1 and q < 2^62.
+
+    Per-(log_n, q) rows are cached at class level: every chain level reuses
+    the key level's rows (the 11-second per-level table rebuild of the old
+    compat stack, CLAUDE.md roadmap, is gone by construction)."""
+
+    _row_cache: dict = {}  # (log_n, q) -> row dict
+
+    @classmethod
+    def _rows(cls, log_n: int, q: int) -> dict:
+        key = (log_n, q)
+        if key in cls._row_cache:
+            return cls._row_cache[key]
+        n = 1 << log_n
+        psi = numth.try_minimal_primitive_root(2 * n, q)
+        if psi is None:
+            raise ValueError(
+                f"[NTT64Tables] modulus {q} does not support NTT degree {n}")
+        ipsi = numth.invert_mod(psi, q)
+        brv = [numth.reverse_bits(i, log_n) for i in range(n)]
+        fwd = [0] * n
+        inv = [0] * n
+        p, ip = 1, 1
+        for i in range(n):
+            fwd[brv[i]] = p
+            inv[brv[i]] = ip
+            p = p * psi % q
+            ip = ip * ipsi % q
+        nv = numth.invert_mod(n, q)
+        rows = dict(
+            psi=_to_words(fwd),
+            psi_shoup=_to_words([(w << 64) // q for w in fwd]),
+            inv_psi=_to_words(inv),
+            inv_psi_shoup=_to_words([(w << 64) // q for w in inv]),
+            n_inv=(nv, (nv << 64) // q),
+        )
+        cls._row_cache[key] = rows
+        return rows
 
     def __init__(self, log_n: int, primes: list[int]):
         self.log_n = log_n
         self.n = n = 1 << log_n
         self.primes = list(primes)
-        L = len(primes)
         for q in primes:
             if q >= (1 << 62):
                 raise ValueError("[NTT64Tables] q must be < 2^62")
 
-        shape = (L, n)
-        psi_hi = np.zeros(shape, np.uint32); psi_lo = np.zeros(shape, np.uint32)
-        psis_hi = np.zeros(shape, np.uint32); psis_lo = np.zeros(shape, np.uint32)
-        ipsi_hi = np.zeros(shape, np.uint32); ipsi_lo = np.zeros(shape, np.uint32)
-        ipsis_hi = np.zeros(shape, np.uint32); ipsis_lo = np.zeros(shape, np.uint32)
-        ninv, ninvs = [], []
-
-        brv = [numth.reverse_bits(i, log_n) for i in range(n)]
-        for k, q in enumerate(self.primes):
-            psi = numth.try_minimal_primitive_root(2 * n, q)
-            if psi is None:
-                raise ValueError(
-                    f"[NTT64Tables] modulus {q} does not support NTT degree {n}")
-            ipsi = numth.invert_mod(psi, q)
-            fwd = [0] * n
-            inv = [0] * n
-            p, ip = 1, 1
-            for i in range(n):
-                fwd[brv[i]] = p
-                inv[brv[i]] = ip
-                p = p * psi % q
-                ip = ip * ipsi % q
-            psi_hi[k], psi_lo[k] = _to_words(fwd)
-            psis_hi[k], psis_lo[k] = _to_words([(w << 64) // q for w in fwd])
-            ipsi_hi[k], ipsi_lo[k] = _to_words(inv)
-            ipsis_hi[k], ipsis_lo[k] = _to_words([(w << 64) // q for w in inv])
-            nv = numth.invert_mod(n, q)
-            ninv.append(nv)
-            ninvs.append((nv << 64) // q)
-
-        self._host = dict(
-            psi_hi=psi_hi, psi_lo=psi_lo,
-            psi_shoup_hi=psis_hi, psi_shoup_lo=psis_lo,
-            inv_psi_hi=ipsi_hi, inv_psi_lo=ipsi_lo,
-            inv_psi_shoup_hi=ipsis_hi, inv_psi_shoup_lo=ipsis_lo,
-        )
-        self._host["n_inv_hi"], self._host["n_inv_lo"] = _to_words(ninv)
-        self._host["n_inv_shoup_hi"], self._host["n_inv_shoup_lo"] = \
-            _to_words(ninvs)
-        self._host["q_hi"], self._host["q_lo"] = _to_words(self.primes)
-        self._host["q2_hi"], self._host["q2_lo"] = _to_words(
-            [2 * q for q in self.primes])
+        host: dict = {}
+        rows = [self._rows(log_n, q) for q in self.primes]
+        for name in ("psi", "psi_shoup", "inv_psi", "inv_psi_shoup"):
+            host[name + "_hi"] = np.stack([r[name][0] for r in rows])
+            host[name + "_lo"] = np.stack([r[name][1] for r in rows])
+        ninv = [r["n_inv"][0] for r in rows]
+        ninvs = [r["n_inv"][1] for r in rows]
+        host["n_inv_hi"], host["n_inv_lo"] = _to_words(ninv)
+        host["n_inv_shoup_hi"], host["n_inv_shoup_lo"] = _to_words(ninvs)
+        host["q_hi"], host["q_lo"] = _to_words(self.primes)
+        host["q2_hi"], host["q2_lo"] = _to_words([2 * q for q in self.primes])
         ratios = [(1 << 128) // q for q in self.primes]
         for i, name in enumerate(["r0", "r1", "r2", "r3"]):
-            self._host[name] = np.array(
+            host[name] = np.array(
                 [(r >> (32 * i)) & _M32 for r in ratios], dtype=np.uint32)
+        self._host = host
         self._device: dict | None = None
 
     def pack(self) -> dict:
         if self._device is None:
             self._device = {k: jnp.asarray(v) for k, v in self._host.items()}
+            self._device["words"] = 2
         return self._device
+
+
+def wide_scalar_pack(values: list[int]) -> dict:
+    """Minimal wide table pack {q words, 2^128-ratio words, words: 2} for a
+    base that needs no NTT (aux moduli like gamma / m_tilde in RNSTool)."""
+    out = {}
+    out["q_hi"], out["q_lo"] = _to_words(values)
+    ratios = [(1 << 128) // q for q in values]
+    for i, name in enumerate(["r0", "r1", "r2", "r3"]):
+        out[name] = np.array([(r >> (32 * i)) & _M32 for r in ratios],
+                             dtype=np.uint32)
+    pack = {k: jnp.asarray(v) for k, v in out.items()}
+    pack["words"] = 2
+    return pack
 
 
 def _slice_pair(t, key, m, axis=1):

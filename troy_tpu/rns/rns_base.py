@@ -100,6 +100,63 @@ class RNSBase:
         return self._pack
 
 
+def _pair_cols(vals: list[int]) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Python ints -> ((L,1) hi, (L,1) lo) u32 word columns."""
+    hi = np.array([(v >> 32) & 0xFFFFFFFF for v in vals], dtype=np.uint32)
+    lo = np.array([v & 0xFFFFFFFF for v in vals], dtype=np.uint32)
+    return jnp.asarray(hi)[:, None], jnp.asarray(lo)[:, None]
+
+
+class BaseConverter64:
+    """Wide-width fast base conversion on (..., 2, L, n) pair arrays
+    (ref: rns_base.h:158-207 fast_convert_array at the reference's native
+    <=61-bit prime width; products accumulate in 128-bit four-word vectors
+    with one Barrett per chunk, ops/u64.py dot_mod64)."""
+
+    def __init__(self, ibase: RNSBase, obase: RNSBase):
+        from ..ops import u64 as W
+
+        self.ibase = ibase
+        self.obase = obase
+        self.inv_punc = _pair_cols(ibase.inv_punctured)
+        self.inv_punc_shoup = _pair_cols(
+            [(ip << 64) // v for ip, v in zip(ibase.inv_punctured, ibase.values)]
+        )
+        self.iq = _pair_cols(ibase.values)
+        self.oq = _pair_cols(obase.values)
+        ratios = [(1 << 128) // p for p in obase.values]
+        self.oratio = tuple(
+            jnp.asarray(np.array([(r >> (32 * w)) & 0xFFFFFFFF for r in ratios],
+                                 dtype=np.uint32))[:, None]
+            for w in (3, 2, 1, 0)
+        )
+        # mat[:, i] = (Q/q_i) mod p_j as pair columns, one per input limb
+        self.mat = [
+            _pair_cols([punc % p for p in obase.values])
+            for punc in ibase.punctured
+        ]
+        self.max_terms = W.dot_mod64_terms(max(obase.values))
+
+    def convert(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (..., 2, L_in, n) -> (..., 2, L_out, n)."""
+        from ..ops import u64 as W
+        from ..ops import rp as R
+
+        h, l = R.hi_lo(x)
+        th, tl = W.shoup_mul64(
+            h, l, self.inv_punc[0], self.inv_punc[1],
+            self.inv_punc_shoup[0], self.inv_punc_shoup[1],
+            self.iq[0], self.iq[1],
+        )
+        pairs = [
+            ((th[..., i : i + 1, :], tl[..., i : i + 1, :]), self.mat[i])
+            for i in range(self.ibase.size)
+        ]
+        acc = W.dot_mod64(pairs, self.oq[0], self.oq[1], *self.oratio,
+                          self.max_terms)
+        return R.pair(*acc)
+
+
 class BaseConverter:
     """Fast (approximate) base conversion ibase -> obase
     (ref: rns_base.h:158-207 fast_convert_array).

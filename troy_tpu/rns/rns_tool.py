@@ -178,8 +178,13 @@ class RNSTool:
                 np.array([p % tv for p in base_q.punctured], dtype=np.uint32)
             )
             self.q_mod_t = U.u32(Q % tv)
-            self.q_inv_f32 = jnp.asarray(
-                np.array([1.0 / q for q in q_values], dtype=np.float32)[:, None]
+            # 96-bit fixed-point reciprocals floor(2^96 / q_i) for the exact
+            # alpha rounding in decrypt_mod_t (three u32 words per limb)
+            r96 = [(1 << 96) // q for q in q_values]
+            self.r96_words = tuple(
+                _col(np.array([(r >> (32 * w)) & 0xFFFFFFFF for r in r96],
+                              dtype=np.uint32))
+                for w in range(3)
             )
             if L > 1:
                 q_last = q_values[-1]
@@ -392,8 +397,54 @@ class RNSTool:
     # ------------------------------------------------------------------
     # BGV decrypt (ref: decryptor.h decrypt_mod_t via exact base conversion)
     # ------------------------------------------------------------------
+    def _exact_alpha(self, v: jnp.ndarray) -> jnp.ndarray:
+        """alpha = round(sum_i v_i / q_i) for v: (..., L, n) residues in
+        [0, q_i), computed in 96-bit fixed point (floor(2^96/q_i) words):
+        per-term error < 2^-66, so rounding is exact whenever the centered
+        phase is not within ~L*2^-66 * Q of +-Q/2 — deterministic and
+        strictly tighter than the reference's f64 accumulation
+        (ref: rns_base.cu exact_convey_array step1/2, 52-bit mantissa)."""
+        w0, w1, w2 = self.r96_words
+        L = self.base_q.size
+        # acc (4 u32 words, little-endian) = sum_i v_i * floor(2^96/q_i)
+        a = [None, None, None, None]
+
+        def acc_add(idx, val):
+            if a[idx] is None:
+                a[idx] = val
+                return
+            s = a[idx] + val
+            carry = (s < val).astype(U.U32)
+            a[idx] = s
+            i = idx + 1
+            while i < 4:
+                if a[i] is None:
+                    a[i] = carry
+                    break
+                s = a[i] + carry
+                carry = (s < carry).astype(U.U32)
+                a[i] = s
+                i += 1
+
+        for i in range(L):
+            vi = v[..., i, :]
+            h0, l0 = U.mul32_wide(vi, w0[i, 0])
+            h1, l1 = U.mul32_wide(vi, w1[i, 0])
+            h2, l2 = U.mul32_wide(vi, w2[i, 0])
+            acc_add(0, l0)
+            acc_add(1, h0)
+            acc_add(1, l1)
+            acc_add(2, h1)
+            acc_add(2, l2)
+            acc_add(3, h2)
+        for i in range(4):
+            if a[i] is None:
+                a[i] = jnp.zeros_like(a[0])
+        # alpha = floor((acc + 2^95) / 2^96): carry from word 2's top bit
+        return a[3] + (a[2] >> 31)
+
     def decrypt_mod_t(self, phase: jnp.ndarray) -> jnp.ndarray:
-        """Exact [centered(phase)]_t via float32 alpha rounding
+        """Exact [centered(phase)]_t via integer fixed-point alpha rounding
         (ref: rns_base exact_convey_array)."""
         qp = self.base_q.pack()
         lead = (1,) * (phase.ndim - 2)
@@ -404,9 +455,7 @@ class RNSTool:
             qp["inv_punctured_shoup"].reshape(lead + (-1, 1)),
             q,
         )
-        # alpha = round(sum v_i / q_i)
-        frac = jnp.sum(v.astype(jnp.float32) * self.q_inv_f32, axis=-2)
-        alpha = jnp.round(frac).astype(jnp.uint32)
+        alpha = self._exact_alpha(v)
         tv = self.t.value
         tm = self.t
         t_u, thi, tlo = U.u32(tv), U.u32(tm.ratio64_hi), U.u32(tm.ratio64_lo)

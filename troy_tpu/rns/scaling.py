@@ -103,3 +103,109 @@ class BFVScaler:
         neg_mag = U.u32(q0) - x0  # magnitude of negative value
         neg = U.neg_mod(U.barrett_reduce_u32(neg_mag, t_u, thi, tlo), t_u)
         return jnp.where(x0 > U.U32(q0 >> 1), neg, pos)
+
+
+class BFVScaler64:
+    """Wide-width (40-61-bit prime) BFV plaintext scaling on (..., 2, L, n)
+    pair arrays (ref: scaling_variant.{h,cu} at the reference's native
+    64-bit width).  The plain modulus t stays < 2^31 (< every wide prime),
+    so mod-t inputs/outputs remain single u32 lanes."""
+
+    def __init__(self, base_q: RNSBase, t: Modulus):
+        from ..ops import u64 as W
+        from .rns_base import _pair_cols
+
+        self.base_q = base_q
+        self.t = t
+        tv = t.value
+        if tv % 2 == 0:
+            raise ValueError("[BFVScaler64] plain modulus must be odd (use ring2k for 2^k)")
+        if tv >= min(base_q.values):
+            raise ValueError("[BFVScaler64] t must be below every coeff modulus")
+        Q = base_q.prod
+        qv = base_q.values
+        delta = Q // tv
+        self.coeff_div_plain = _pair_cols([delta % q for q in qv])
+        self.coeff_div_plain_shoup = _pair_cols(
+            [((delta % q) << 64) // q for q in qv])
+        self.q_mod_t = U.u32(Q % tv)
+        self.t_half = U.u32((tv + 1) >> 1)
+        self.t_inv_2_32 = U.u32(pow(tv, -1, 1 << 32))
+        self.q_cols = _pair_cols(qv)
+        ratios = [(1 << 128) // q for q in qv]
+        self.q_ratio = tuple(
+            jnp.asarray(np.array([(r >> (32 * w)) & 0xFFFFFFFF for r in ratios],
+                                 dtype=np.uint32))[:, None]
+            for w in (3, 2, 1, 0)
+        )
+        # centered lift: q_i - t for upper-half plain coefficients
+        self.upper_half_increment = _pair_cols([q - tv for q in qv])
+
+    def scale_up(self, m: jnp.ndarray) -> jnp.ndarray:
+        """m: (..., n) u32 in [0, t) -> (..., 2, L, n) = round(m*Q/t) mod q."""
+        from ..ops import u64 as W
+        from ..ops import rp as R
+
+        tm = self.t
+        tv = U.u32(tm.value)
+        # fix = floor((m*(Q mod t) + t/2) / t), exact via the odd-t inverse
+        hi, lo = U.mul32_wide(m, self.q_mod_t)
+        half = U.u32(tm.value >> 1)
+        hi, lo = U.add64(hi, lo, jnp.zeros_like(hi),
+                         jnp.broadcast_to(half, lo.shape))
+        rem = U.barrett_reduce_u64(hi, lo, tv, U.u32(tm.ratio64_hi),
+                                   U.u32(tm.ratio64_lo))
+        fix = (lo - rem) * self.t_inv_2_32  # < t < 2^31
+        mm = m[..., None, :]
+        fixx = fix[..., None, :]
+        qh, ql = self.q_cols
+        ph, pl = W.shoup_mul64(jnp.zeros_like(mm), mm,
+                               self.coeff_div_plain[0], self.coeff_div_plain[1],
+                               self.coeff_div_plain_shoup[0],
+                               self.coeff_div_plain_shoup[1], qh, ql)
+        oh, ol = W.add_mod64(ph, pl, jnp.zeros_like(fixx),
+                             jnp.broadcast_to(fixx, pl.shape), qh, ql)
+        return R.pair(oh, ol)
+
+    def centralize(self, m: jnp.ndarray) -> jnp.ndarray:
+        """m: (..., n) u32 in [0, t) -> (..., 2, L, n) centered lift."""
+        from ..ops import u64 as W
+        from ..ops import rp as R
+
+        mm = m[..., None, :]
+        L = self.base_q.size
+        mm = jnp.broadcast_to(mm, mm.shape[:-2] + (L, mm.shape[-1]))
+        # upper half: m - t + q_i (in [0, q_i) since m < t <= q_i)
+        ih, il = self.upper_half_increment
+        uh, ul = W.add64(jnp.broadcast_to(ih, mm.shape),
+                         jnp.broadcast_to(il, mm.shape),
+                         jnp.zeros_like(mm), mm)
+        upper = mm >= self.t_half
+        return R.pair(jnp.where(upper, uh, jnp.zeros_like(mm)),
+                      jnp.where(upper, ul, mm))
+
+    def decentralize(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(..., 2, L, n) -> (..., n) u32 mod t for small centered values."""
+        from ..ops import u64 as W
+        from ..ops import rp as R
+
+        tm = self.t
+        q0 = self.base_q.values[0]
+        h, l = R.hi_lo(x)
+        x0h, x0l = h[..., 0, :], l[..., 0, :]
+        t_u = U.u32(tm.value)
+        thi, tlo = U.u32(tm.ratio64_hi), U.u32(tm.ratio64_lo)
+        # mod-t reduction of a 64-bit value via two u32 Barrett steps:
+        # x mod t = ((x_hi mod t) * (2^32 mod t) + x_lo) mod t
+        two32_mod_t = U.u32((1 << 32) % tm.value)
+        def mod_t(ah, al):
+            hm = U.barrett_reduce_u32(ah, t_u, thi, tlo)
+            hm = U.mul_mod(hm, two32_mod_t, t_u, thi, tlo)
+            lm = U.barrett_reduce_u32(al, t_u, thi, tlo)
+            return U.add_mod(hm, lm, t_u)
+        pos = mod_t(x0h, x0l)
+        nh, nl = W.sub64(U.u32(q0 >> 32), U.u32(q0 & 0xFFFFFFFF), x0h, x0l)
+        neg = U.neg_mod(mod_t(nh, nl), t_u)
+        q0h = (q0 >> 1) + 1  # x0 > q0/2
+        big = W.geq64(x0h, x0l, U.u32(q0h >> 32), U.u32(q0h & 0xFFFFFFFF))
+        return jnp.where(big, neg, pos)

@@ -54,9 +54,52 @@ def _uniform_from_bits(bits, shape, qtab: dict) -> jnp.ndarray:
 def _uniform_from_key(key, shape, qtab: dict) -> jnp.ndarray:
     """Single-key variant: used only for c1 regeneration from a *published*
     ciphertext seed (ref: ciphertext.h:255), where the seed itself is public."""
+    if qtab.get("words", 1) == 2:
+        L = qtab["q_hi"].shape[0]
+        bits = jax.random.bits(
+            key, (4,) + tuple(shape[:-2]) + (L, shape[-1]), jnp.uint32)
+        return _wide_uniform_from_bits(bits, qtab)
     L = qtab["q"].shape[0]
     bits = jax.random.bits(key, (2,) + tuple(shape[:-2]) + (L, shape[-1]), jnp.uint32)
     return _uniform_from_bits(bits, shape, qtab)
+
+
+def _wide_cols(qtab: dict):
+    return qtab["q_hi"][:, None], qtab["q_lo"][:, None]
+
+
+def _wide_ratio(qtab: dict):
+    return (qtab["r3"][:, None], qtab["r2"][:, None],
+            qtab["r1"][:, None], qtab["r0"][:, None])
+
+
+def _wide_uniform_from_bits(bits, qtab: dict) -> jnp.ndarray:
+    """128 random bits Barrett-reduced mod each wide prime: bias < 2^-66
+    (the wide analog of _uniform_from_bits; ref: AES-CTR mod q sampling)."""
+    from ..ops import u64 as W
+    from ..ops import rp as R
+
+    qh, ql = _wide_cols(qtab)
+    return R.pair(*W.barrett_reduce_u128(
+        bits[3], bits[2], bits[1], bits[0], qh, ql, *_wide_ratio(qtab)))
+
+
+def _wide_lift_small(e, qtab: dict) -> jnp.ndarray:
+    """Signed small values e (int32, |e| << 2^31, shape (..., n)) lifted to
+    wide residues (..., 2, L, n): negative values become q + e."""
+    from ..ops import rp as R
+    from ..ops import u32 as _U
+
+    qh, ql = _wide_cols(qtab)
+    ej = e[..., None, :]
+    neg = ej < 0
+    mag = jnp.where(neg, -ej, ej).astype(jnp.uint32)
+    borrow = (ql < mag) & neg
+    hi = jnp.where(neg, qh - borrow.astype(_U.U32), _U.U32(0) * mag)
+    lo = jnp.where(neg, ql - mag, mag)
+    L = qtab["q_hi"].shape[0]
+    tgt = ej.shape[:-2] + (L, ej.shape[-1])
+    return R.pair(jnp.broadcast_to(hi, tgt), jnp.broadcast_to(lo, tgt))
 
 
 def _ternary_from_bits(r, qtab: dict) -> jnp.ndarray:
@@ -146,7 +189,29 @@ class RandomGenerator:
 
     # -- samplers (ref: random_generator.h:75-80) ---------------------------
     def sample_uniform(self, shape, qtab: dict) -> jnp.ndarray:
-        """shape = (..., L, n) residues uniform mod each q."""
+        """shape = (..., L, n) residues uniform mod each q (wide packs get
+        the extra word axis at -3, ops/rp.py layout)."""
+        if qtab.get("words", 1) == 2:
+            L = qtab["q_hi"].shape[0]
+            if self.mode == "aes":
+                import numpy as np
+                import math
+
+                count = int(math.prod(shape))
+                words = self._aes_words(4 * count).reshape(4, *shape)
+                wide = (words[0].astype(object)
+                        | (words[1].astype(object) << 32)
+                        | (words[2].astype(object) << 64)
+                        | (words[3].astype(object) << 96))
+                qs = np.asarray(qtab["q_hi"], dtype=np.uint64).astype(object) * (1 << 32) \
+                    + np.asarray(qtab["q_lo"], dtype=np.uint64).astype(object)
+                res = wide % qs.reshape((1,) * (len(shape) - 2) + (L, 1))
+                hi = (res >> 32).astype(np.uint32)
+                lo = (res & 0xFFFFFFFF).astype(np.uint32)
+                return jnp.stack([jnp.asarray(hi), jnp.asarray(lo)], axis=-3)
+            bits = _bits2(self._next_keys(),
+                          (4,) + tuple(shape[:-2]) + (L, shape[-1]))
+            return _wide_uniform_from_bits(bits, qtab)
         if self.mode == "aes":
             import numpy as np
             import math
@@ -167,6 +232,19 @@ class RandomGenerator:
         return _uniform_from_bits(bits, shape, qtab)
 
     def sample_ternary(self, shape_n, qtab: dict) -> jnp.ndarray:
+        if qtab.get("words", 1) == 2:
+            if self.mode == "aes":
+                import numpy as np
+                import math
+
+                count = int(math.prod(shape_n))
+                words = self._aes_words(count)
+                r = jnp.asarray((words % 3).reshape(shape_n).astype(np.uint32))
+            else:
+                r = _bits2(self._next_keys(), tuple(shape_n)) % U.U32(3)
+            # 0 -> 0, 1 -> 1, 2 -> -1 (same mapping as the u32 path)
+            e = jnp.where(r == 2, jnp.int32(-1), r.astype(jnp.int32))
+            return _wide_lift_small(e, qtab)
         if self.mode == "aes":
             import numpy as np
             import math
@@ -183,6 +261,22 @@ class RandomGenerator:
         return _ternary_from_bits(_bits2(self._next_keys(), tuple(shape_n)), qtab)
 
     def sample_cbd(self, shape_n, qtab: dict) -> jnp.ndarray:
+        if qtab.get("words", 1) == 2:
+            if self.mode == "aes":
+                import numpy as np
+                import math
+
+                count = int(math.prod(shape_n))
+                words = self._aes_words(2 * count)
+                a = np.bitwise_count(words[:count] & _MASK21).astype(np.int32)
+                b = np.bitwise_count(words[count:] & _MASK21).astype(np.int32)
+                e = jnp.asarray((a - b).reshape(shape_n))
+            else:
+                bits = _bits2(self._next_keys(), (2,) + tuple(shape_n))
+                a = jnp.bitwise_count(bits[0] & U.U32(_MASK21)).astype(jnp.int32)
+                b = jnp.bitwise_count(bits[1] & U.U32(_MASK21)).astype(jnp.int32)
+                e = a - b
+            return _wide_lift_small(e, qtab)
         if self.mode == "aes":
             import numpy as np
             import math
