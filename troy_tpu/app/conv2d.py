@@ -156,21 +156,14 @@ class Conv2dHelper:
 
     # ------------------------------------------------------------------
     def conv2d(self, evaluator: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
-        """(ref: conv2d.cu:356)"""
+        """Whole channel contraction in one fused kernel
+        (ref: conv2d.cu:356)."""
         total = self.get_total_batch_size()
         ocg = ceil_div(self.output_channels, self.output_channel_block)
         icg = ceil_div(self.input_channels, self.input_channel_block)
-        ret = []
-        for eb in range(total):
-            row = []
-            for j in range(ocg):
-                acc = None
-                for i in range(icg):
-                    prod = evaluator.multiply_plain(a[eb][i], w[j][i])
-                    acc = prod if acc is None else evaluator.add(acc, prod)
-                row.append(acc)
-            ret.append(row)
-        return Cipher2d(ret)
+        cts = [[a[eb][i] for i in range(icg)] for eb in range(total)]
+        pls = [[w[j][i] for j in range(ocg)] for i in range(icg)]
+        return Cipher2d(evaluator.multiply_plain_contract(cts, pls))
 
     def conv2d_reverse(self, evaluator: Evaluator, a: Plain2d, w: Cipher2d) -> Cipher2d:
         total = self.get_total_batch_size()

@@ -179,16 +179,16 @@ class MatmulHelper:
     # multiplication (ref: matmul.cu:326 matmul / matmul_cipher / _reverse)
     # ------------------------------------------------------------------
     def matmul(self, evaluator: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
+        """One fused kernel for the whole block contraction: every input
+        block is NTT'd once and all multiply-accumulates run as a single
+        batched pass (ref: matmul.cu:326 matmul over batched
+        multiply_plain_accumulate kernels)."""
         bs = ceil_div(self.batch_size, self.batch_block)
         os_ = ceil_div(self.output_dims, self.output_block)
         is_ = ceil_div(self.input_dims, self.input_block)
-        ret = [[None] * os_ for _ in range(bs)]
-        for i in range(is_):
-            for j in range(os_):
-                for b in range(bs):
-                    prod = evaluator.multiply_plain(a[b][i], w[i][j])
-                    ret[b][j] = prod if ret[b][j] is None else evaluator.add(ret[b][j], prod)
-        return Cipher2d(ret)
+        cts = [[a[b][i] for i in range(is_)] for b in range(bs)]
+        pls = [[w[i][j] for j in range(os_)] for i in range(is_)]
+        return Cipher2d(evaluator.multiply_plain_contract(cts, pls))
 
     def matmul_fly(self, evaluator: Evaluator, adapter, a: Cipher2d,
                    weights) -> Cipher2d:
@@ -216,16 +216,16 @@ class MatmulHelper:
         return Cipher2d(ret)
 
     def matmul_reverse(self, evaluator: Evaluator, a: Plain2d, w: Cipher2d) -> Cipher2d:
+        """pt-ct matmul through the same fused contraction, with the roles
+        transposed: out[b][j] = sum_i w[i][j] * a[b][i] = contract(w^T, a^T)^T
+        (ref: matmul.cu matmul_reverse)."""
         bs = ceil_div(self.batch_size, self.batch_block)
         os_ = ceil_div(self.output_dims, self.output_block)
         is_ = ceil_div(self.input_dims, self.input_block)
-        ret = [[None] * os_ for _ in range(bs)]
-        for i in range(is_):
-            for j in range(os_):
-                for b in range(bs):
-                    prod = evaluator.multiply_plain(w[i][j], a[b][i])
-                    ret[b][j] = prod if ret[b][j] is None else evaluator.add(ret[b][j], prod)
-        return Cipher2d(ret)
+        cts = [[w[i][j] for i in range(is_)] for j in range(os_)]
+        pls = [[a[b][i] for b in range(bs)] for i in range(is_)]
+        out = evaluator.multiply_plain_contract(cts, pls)  # (os_, bs)
+        return Cipher2d([[out[j][b] for j in range(os_)] for b in range(bs)])
 
     def matmul_cipher(self, evaluator: Evaluator, a: Cipher2d, w: Cipher2d) -> Cipher2d:
         bs = ceil_div(self.batch_size, self.batch_block)
@@ -293,10 +293,8 @@ class MatmulHelper:
         inherent_shift = 0 if ib == 1 else 2 * n - (ib - 1)
         flat = [c for row in cipher.data for c in row]
         groups = [flat[i : i + ib] for i in range(0, len(flat), ib)]
-        out = [
-            evaluator.pack_rlwe_ciphertexts(g, auto_keys, inherent_shift, ib, 1)
-            for g in groups
-        ]
+        out = evaluator.pack_rlwe_ciphertexts_batched(
+            groups, auto_keys, inherent_shift, ib, 1)
         return Cipher2d([out])
 
     # ------------------------------------------------------------------

@@ -18,12 +18,37 @@ matches rotate_vector/conjugate semantics (ops/galois.py).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .context import HeContext, ContextData
 from .params import ParmsID, SchemeType
 from .plaintext import Plaintext
 from ..ops import ntt as NTT, rp as R
+
+
+def _round_ints(scaled: np.ndarray):
+    """Round float64 coefficients to integers, vectorized: int64 lanes when
+    they fit (always exact — float64 has 53 mantissa bits), object otherwise."""
+    if np.max(np.abs(scaled)) < 2.0 ** 62:
+        return np.round(scaled).astype(np.int64)
+    return np.array([int(round(x)) for x in scaled], dtype=object)
+
+
+def _ntt_jit(cd: ContextData, forward: bool):
+    """Whole-transform jitted NTT for the encoder, cached per level on the
+    shared ContextData._jit_ops dict (one compile + one dispatch per encode
+    instead of ~400 eager ops — critical through the remote-TPU tunnel)."""
+    cache = getattr(cd, "_jit_ops", None)
+    if cache is None:
+        cache = {}
+        cd._jit_ops = cache
+    key = "encoder_ntt_fwd" if forward else "encoder_ntt_inv"
+    if key not in cache:
+        tab = cd.qtab()  # materialize BEFORE tracing (table = closure const)
+        fn = R.ntt_forward if forward else R.ntt_inverse
+        cache[key] = jax.jit(lambda x: fn(x, tab))
+    return cache[key]
 
 
 class CKKSEncoder:
@@ -54,18 +79,15 @@ class CKKSEncoder:
     # ------------------------------------------------------------------
     def _coeffs_to_rns(self, coeffs: np.ndarray, cd: ContextData) -> np.ndarray:
         """Centered integer coefficients (object array) -> (L, n) u32 residues
-        or ([2,] L, n) wide pairs for 40-60-bit prime sets."""
+        or ([2,] L, n) wide pairs for 40-60-bit prime sets.  Vectorized
+        (int64 lanes when coefficients fit, object-dtype otherwise — ref
+        three-tier decomposition, src/ckks_encoder.cu:454-692)."""
         if cd.wide:
-            out = np.empty((2, cd.base_q.size, self.n), dtype=np.uint32)
-            for i, q in enumerate(cd.base_q.values):
-                res = [int(c) % q for c in coeffs]
-                out[0, i] = np.array([r >> 32 for r in res], dtype=np.uint32)
-                out[1, i] = np.array([r & 0xFFFFFFFF for r in res], dtype=np.uint32)
-            return out
-        out = np.empty((cd.base_q.size, self.n), dtype=np.uint32)
-        for i, q in enumerate(cd.base_q.values):
-            out[i] = np.array([int(c) % q for c in coeffs], dtype=np.uint32)
-        return out
+            res = cd.base_q.residues_host(coeffs)  # (L, n) object/int64
+            res = np.asarray(res, dtype=np.uint64)
+            return np.stack([(res >> np.uint64(32)).astype(np.uint32),
+                             (res & np.uint64(0xFFFFFFFF)).astype(np.uint32)])
+        return cd.base_q.decompose_array_host(coeffs)
 
     @staticmethod
     def _compose_centered(data, cd: ContextData) -> np.ndarray:
@@ -76,10 +98,9 @@ class CKKSEncoder:
 
             arr = unpack64(arr[0], arr[1])
         Q = cd.base_q.prod
-        composed = cd.base_q.compose_array_host(arr)
-        return np.array(
-            [float(v - Q) if v > Q // 2 else float(v) for v in composed]
-        )
+        composed = np.array(cd.base_q.compose_array_host(arr), dtype=object)
+        return np.where(composed > Q // 2, composed - Q, composed
+                        ).astype(np.float64)
 
     def encode(self, values, parms_id: ParmsID | None = None,
                scale: float = 2.0 ** 40) -> Plaintext:
@@ -96,9 +117,8 @@ class CKKSEncoder:
         limit = cd.total_coeff_modulus / 2
         if np.max(np.abs(scaled)) >= limit:
             raise ValueError("[CKKSEncoder.encode] scaled values exceed q/2")
-        ints = [int(round(x)) for x in scaled]
-        rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
-        data = R.ntt_forward(jnp.asarray(rns), cd.qtab())
+        rns = self._coeffs_to_rns(_round_ints(scaled), cd)
+        data = _ntt_jit(cd, True)(jnp.asarray(rns))
         return Plaintext(data, parms_id=cd.parms_id, scale=scale, is_ntt_form=True)
 
     def encode_float64_polynomial(self, coeffs, parms_id: ParmsID | None = None,
@@ -109,9 +129,8 @@ class CKKSEncoder:
         c = np.zeros(self.n)
         arr = np.asarray(coeffs, dtype=np.float64)
         c[: len(arr)] = arr
-        ints = [int(round(x * scale)) for x in c]
-        rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
-        data = R.ntt_forward(jnp.asarray(rns), cd.qtab())
+        rns = self._coeffs_to_rns(_round_ints(c * scale), cd)
+        data = _ntt_jit(cd, True)(jnp.asarray(rns))
         return Plaintext(data, parms_id=cd.parms_id, scale=scale, is_ntt_form=True)
 
     def encode_float64_single(self, value: float, parms_id: ParmsID | None = None,
@@ -134,7 +153,7 @@ class CKKSEncoder:
         cd = self.context.get_context_data(parms_id or self.context.first_parms_id)
         ints = [value] + [0] * (self.n - 1)
         rns = self._coeffs_to_rns(np.array(ints, dtype=object), cd)
-        data = R.ntt_forward(jnp.asarray(rns), cd.qtab())
+        data = _ntt_jit(cd, True)(jnp.asarray(rns))
         return Plaintext(data, parms_id=cd.parms_id, scale=1.0, is_ntt_form=True)
 
     def decode_float64_polynomial(self, plain: Plaintext) -> np.ndarray:
@@ -142,7 +161,7 @@ class CKKSEncoder:
         cd = self.context.get_context_data(plain.parms_id)
         data = plain.data
         if plain.is_ntt_form:
-            data = R.ntt_inverse(data, cd.qtab())
+            data = _ntt_jit(cd, False)(data)
         centered = self._compose_centered(data, cd)
         return centered / plain.scale
 
@@ -152,7 +171,7 @@ class CKKSEncoder:
         cd = self.context.get_context_data(plain.parms_id)
         data = plain.data
         if plain.is_ntt_form:
-            data = R.ntt_inverse(data, cd.qtab())
+            data = _ntt_jit(cd, False)(data)
         centered = self._compose_centered(data, cd)
         coeffs = centered / plain.scale
         ev = np.fft.ifft(coeffs * self._twist) * self.n

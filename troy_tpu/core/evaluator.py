@@ -575,9 +575,13 @@ class Evaluator(LweOpsMixin):
             c0g = tool.apply_coeff(ct.data[0], galois_elt, qtab)
             target = tool.apply_coeff(ct.data[1], galois_elt, qtab)
         sw = self._switch_key(cd, target, glk.key(galois_elt), out_ntt=ct.is_ntt_form)
+        # sw has the poly axis after any leading batch axes: index it from
+        # the end so batched (pack_rlwe_ciphertexts_batched) data works too
+        pax = R.poly_axis(qtab)
+        sw0 = jnp.take(sw, 0, axis=pax)
+        sw1 = jnp.take(sw, 1, axis=pax)
         out = ct.clone()
-        c0 = R.add(sw[0], c0g, qtab)
-        out.data = jnp.stack([c0, sw[1]])
+        out.data = jnp.stack([R.add(sw0, c0g, qtab), sw1])
         return out
 
     def _rotate_internal(self, ct: Ciphertext, steps: int, glk: GaloisKeys) -> Ciphertext:
@@ -761,6 +765,75 @@ class Evaluator(LweOpsMixin):
             prod = self.multiply_plain(ct, pt)
             out.append(prod if acc is None else self.add(acc, prod))
         return out
+
+    def multiply_plain_contract(self, cts: list[list[Ciphertext]],
+                                plains: list[list[Plaintext]]
+                                ) -> list[list[Ciphertext]]:
+        """out[b][j] = sum_i cts[b][i] * plains[i][j] — the BumbleBee matmul
+        inner contraction fused into ONE jitted kernel: every input block is
+        NTT'd once (not once per output block), every product-accumulate is
+        a single batched elementwise pass (ref: the batched matmul inner loop,
+        src/evaluator_multiply_plain.cu:356 multiply_plain_accumulate +
+        src/fgk/dyadic_convolute.cu dyadic_broadcast_product_accumulate)."""
+        bs, is_ = len(cts), len(cts[0])
+        os_ = len(plains[0])
+        if len(plains) != is_:
+            raise ValueError("[Evaluator.multiply_plain_contract] "
+                             f"inner dims differ: {len(plains)} vs {is_}")
+        ct0, p0 = cts[0][0], plains[0][0]
+        cd = self._cd(ct0)
+        scheme = cd.parms.scheme
+        for row in cts:
+            for ct in row:
+                if (ct.parms_id != ct0.parms_id or ct.size != ct0.size
+                        or ct.is_ntt_form != ct0.is_ntt_form
+                        or ct.correction_factor != ct0.correction_factor):
+                    raise ValueError("[Evaluator.multiply_plain_contract] "
+                                     "ciphertexts must be uniform")
+                if scheme == SchemeType.CKKS and ct.scale != ct0.scale:
+                    raise ValueError("[Evaluator.multiply_plain_contract] "
+                                     "ciphertext scales must match")
+        for row in plains:
+            for p in row:
+                if p.is_ntt_form != p0.is_ntt_form or p.scale != p0.scale:
+                    raise ValueError("[Evaluator.multiply_plain_contract] "
+                                     "plaintexts must be uniform")
+        A = jnp.stack([jnp.stack([ct.data for ct in row]) for row in cts])
+        W_raw = jnp.stack([jnp.stack([p.data for p in row]) for row in plains])
+        qtab = cd.qtab()  # materialize before tracing
+        rns_form = scheme == SchemeType.CKKS or self._is_rns_plain(p0, cd)
+        cent = None if rns_form else self._centralizer(cd)
+        ct_ntt, p_ntt = ct0.is_ntt_form, p0.is_ntt_form
+
+        def builder():
+            def fn(A, W_raw):
+                if rns_form:
+                    W_ = W_raw if p_ntt else R.ntt_forward(W_raw, qtab)
+                else:
+                    W_ = R.ntt_forward(cent.centralize(W_raw[..., 0, :]), qtab)
+                A_ntt = A if ct_ntt else R.ntt_forward(A, qtab)
+                acc = None
+                for i in range(is_):
+                    a_i = A_ntt[:, i][:, None]       # (bs, 1, size, [2,]L, n)
+                    w_i = W_[i][None, :, None]       # (1, os_, 1, [2,]L, n)
+                    prod = R.dyadic_product(a_i, w_i, qtab)
+                    acc = prod if acc is None else R.add(acc, prod, qtab)
+                return acc if ct_ntt else R.ntt_inverse(acc, qtab)
+            return fn
+
+        fn = self._jit(cd, "mm_contract", builder)
+        out_data = fn(A, W_raw)                      # (bs, os_, size, [2,]L, n)
+        outs = []
+        for b in range(bs):
+            row = []
+            for j in range(os_):
+                o = ct0.clone()
+                o.data = out_data[b, j]
+                if scheme == SchemeType.CKKS:
+                    o.scale = ct0.scale * p0.scale
+                row.append(o)
+            outs.append(row)
+        return outs
 
     def translate(self, ct1: Ciphertext, ct2: Ciphertext,
                   subtract: bool = False) -> Ciphertext:

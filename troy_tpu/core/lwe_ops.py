@@ -103,6 +103,24 @@ class LweOpsMixin:
         out.data = P.multiply_operand(ct.data, w, ws, cd.qtab())
         return out
 
+    def _assemble_lwe_stack(self, lwes: list[LWECiphertext]) -> jnp.ndarray:
+        """Assemble M LWE samples in ONE batched computation -> (M, 2, L, n)
+        (the data of assemble_lwe for each, ref: lwe_ciphertext.h:111)."""
+        cd = self.context.get_context_data(lwes[0].parms_id)
+        n = cd.parms.poly_modulus_degree
+        L = lwes[0].coeff_modulus_size
+        M = len(lwes)
+        qtab = cd.qtab()
+        q = qtab["q"][:, None]
+        c0s = jnp.stack([l.c0 for l in lwes])                # (M, L)
+        c1s = jnp.stack([l.c1 for l in lwes])                # (M, L, n)
+        c0 = jnp.zeros((M, L, n), jnp.uint32).at[:, :, 0].set(c0s)
+        rev = jnp.flip(c1s, axis=-1)
+        rolled = jnp.roll(rev, 1, axis=-1)
+        sign = jnp.arange(n) > 0
+        c1 = jnp.where(sign, U.neg_mod(rolled, q), rolled)
+        return jnp.stack([c0, c1], axis=1)                    # (M, 2, L, n)
+
     # ------------------------------------------------------------------
     def pack_lwe_ciphertexts(self, lwes: list[LWECiphertext],
                              glk: GaloisKeys) -> Ciphertext:
@@ -204,3 +222,91 @@ class LweOpsMixin:
             logn_stop = (n // output_interval).bit_length() - 1
             ret = self.field_trace(ret, glk, logn_stop=logn_stop)
         return ret
+
+    # ------------------------------------------------------------------
+    def pack_rlwe_ciphertexts_batched(
+        self,
+        groups: list[list[Ciphertext | None]],
+        glk: GaloisKeys,
+        shift: int,
+        input_interval: int,
+        output_interval: int,
+        apply_field_trace: bool = True,
+    ) -> list[Ciphertext]:
+        """Pack G groups simultaneously: the identical merge tree runs ONCE
+        on group-stacked arrays — the batch axis is inserted after the poly
+        axis (shape (2, G, [2,]L, n)), so every poly-indexed op including the
+        keyswitch dispatches one batched kernel for all groups
+        (ref: evaluator_lwes.cu:493 pack_lwe_ciphertexts_batched, applied at
+        the RLWE layer).  Missing slots (None / ragged groups) are packed as
+        zero ciphertexts — identical results, uniform tree."""
+        if not groups:
+            raise ValueError("[Evaluator.pack_rlwe_ciphertexts_batched] empty")
+        if len(groups) == 1:
+            return [self.pack_rlwe_ciphertexts(
+                groups[0], glk, shift, input_interval, output_interval,
+                apply_field_trace)]
+        proto = next(c for g in groups for c in g if c is not None)
+        for g in groups:
+            for c in g:
+                if c is not None and (
+                        c.parms_id != proto.parms_id
+                        or c.is_ntt_form != proto.is_ntt_form
+                        or c.size != proto.size):
+                    raise ValueError(
+                        "[Evaluator.pack_rlwe_ciphertexts_batched] "
+                        "ciphertexts must be uniform")
+        G = len(groups)
+        mlen = max(len(g) for g in groups)
+        zero = jnp.zeros_like(proto.data)
+        positions: list[Ciphertext] = []
+        for k in range(mlen):
+            datas = [g[k].data if k < len(g) and g[k] is not None else zero
+                     for g in groups]
+            v = proto.clone()
+            v.data = jnp.stack(datas, axis=1)        # (2, G, [2,]L, n)
+            v.seed = None
+            positions.append(v)
+        packed = self.pack_rlwe_ciphertexts(
+            positions, glk, shift, input_interval, output_interval,
+            apply_field_trace)
+        outs = []
+        for gi in range(G):
+            o = packed.clone()
+            o.data = packed.data[:, gi]
+            outs.append(o)
+        return outs
+
+    def pack_lwe_ciphertexts_batched(self, groups: list[list[LWECiphertext]],
+                                     glk: GaloisKeys) -> list[Ciphertext]:
+        """Batched PackLWEs: G groups of up to n LWE samples each -> G RLWE
+        ciphertexts, with assembly and the whole merge/trace tree running as
+        batched kernels (ref: evaluator_lwes.cu:493)."""
+        if not groups or any(not g for g in groups):
+            raise ValueError("[Evaluator.pack_lwe_ciphertexts_batched] "
+                             "empty input")
+        cd = self.context.get_context_data(groups[0][0].parms_id)
+        n = cd.parms.poly_modulus_degree
+        m = max(len(g) for g in groups)
+        ell = max(1, (m - 1).bit_length()) if m > 1 else 0
+        if (1 << ell) > n:
+            raise ValueError("[Evaluator.pack_lwe_ciphertexts_batched] "
+                             "too many LWEs")
+        flat = [l for g in groups for l in g]
+        datas = self._assemble_lwe_stack(flat)       # (M, 2, L, n)
+        proto0 = Ciphertext(datas[0], flat[0].parms_id, is_ntt_form=False,
+                            scale=flat[0].scale,
+                            correction_factor=flat[0].correction_factor)
+        cts: list[list[Ciphertext | None]] = []
+        off = 0
+        for g in groups:
+            row = []
+            for _ in g:
+                c = proto0.clone()
+                c.data = datas[off]
+                row.append(c)
+                off += 1
+            cts.append(row)
+        out_interval = max(1, n >> ell)
+        return self.pack_rlwe_ciphertexts_batched(
+            cts, glk, 0, n, out_interval)

@@ -57,3 +57,52 @@ def shard_batch(data, mesh: Mesh, shard_limbs: bool = True):
 
 def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, PSpec()))
+
+
+# ---------------------------------------------------------------------------
+# partition diagnostics
+# ---------------------------------------------------------------------------
+
+_COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+                "collective-permute", "reduce-scatter")
+
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+                "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+                "f64": 8}
+
+
+def collective_stats(compiled) -> dict:
+    """Count collective ops (and estimate the bytes they move) in a lowered+
+    compiled executable's HLO — the proof that a sharded program actually
+    communicates across the mesh instead of running replicated.  The
+    app-level analog is Timer.add_communication (ref: timer.h:82
+    print_communication); this covers the intra-op collectives XLA GSPMD
+    inserts from the shardings."""
+    import re
+
+    op_re = re.compile(r"\b(" + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+    shape_re = re.compile(r"([a-z]+\d*)\[([\d,]*)\]")
+    counts: dict[str, int] = {}
+    nbytes = 0
+    for line in compiled.as_text().splitlines():
+        m = op_re.search(line)
+        if m is None or "=" not in line:
+            continue
+        op = m.group(1)
+        counts[op] = counts.get(op, 0) + 1
+        # result shape(s) sit between '=' and the op name
+        eq = line.index("=")
+        for dt, dims in shape_re.findall(line[eq + 1 : m.start()]):
+            elems = 1
+            for d in dims.split(","):
+                if d:
+                    elems *= int(d)
+            nbytes += elems * _DTYPE_BYTES.get(dt, 4)
+    return {"counts": counts, "total": sum(counts.values()),
+            "approx_bytes": nbytes}
+
+
+def per_device_bytes(x) -> int:
+    """Bytes of x actually resident on ONE device under its sharding."""
+    sh = x.addressable_shards[0].data
+    return int(np.prod(sh.shape)) * x.dtype.itemsize

@@ -24,6 +24,19 @@ from ..utils import numth
 from ..ops import u32 as U
 
 
+def _int_lanes(values) -> np.ndarray:
+    """Coerce an int iterable to the widest exact numpy representation:
+    integer-dtype ndarrays pass through (uint64 stays unsigned — a silent
+    int64 wrap would corrupt residues), Python ints use int64 lanes when
+    they fit and object dtype otherwise."""
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iu":
+        return values
+    try:
+        return np.asarray(values, dtype=np.int64)
+    except (OverflowError, TypeError):
+        return np.asarray(values, dtype=object)
+
+
 class RNSBase:
     """An ordered set of pairwise-coprime word-size moduli
     (ref: rns_base.h:11-17)."""
@@ -66,18 +79,32 @@ class RNSBase:
         return v - self.prod if v > self.prod // 2 else v
 
     def decompose_array_host(self, values) -> np.ndarray:
-        """Python-int iterable (length n) -> (L, n) u32 residues."""
-        out = np.empty((self.size, len(values)), dtype=np.uint32)
-        for i, q in enumerate(self.values):
-            out[i] = np.array([int(v) % q for v in values], dtype=np.uint32)
-        return out
+        """Python-int iterable (length n) -> (L, n) u32 residues.
+        Vectorized: int64 lanes when the inputs fit, else one object-dtype
+        numpy mod per prime (C-driven loop over Python ints) — never a
+        per-coefficient Python loop (ref three-tier decomposition,
+        src/ckks_encoder.cu:454-692)."""
+        arr = _int_lanes(values)
+        return np.stack([(arr % q).astype(np.uint32) for q in self.values])
+
+    def residues_host(self, values) -> np.ndarray:
+        """Python-int iterable -> (L, n) residues at full modulus width
+        (uint64 rows); vectorized like decompose_array_host but without the
+        u32 narrowing."""
+        arr = _int_lanes(values)
+        return np.stack([np.asarray(arr % q, dtype=np.uint64)
+                         for q in self.values])
 
     def compose_array_host(self, arr: np.ndarray) -> list[int]:
-        """(L, n) residues -> list of Python ints in [0, Q)."""
-        return [
-            self.compose([int(arr[i, j]) for i in range(self.size)])
-            for j in range(arr.shape[1])
-        ]
+        """(L, n) residues -> list of Python ints in [0, Q).  Vectorized CRT:
+        object-dtype numpy elementwise ops instead of per-coefficient
+        Python-loop compose."""
+        acc = np.zeros(arr.shape[1], dtype=object)
+        for i in range(self.size):
+            row = arr[i].astype(object)
+            acc += (row * self.inv_punctured[i] % self.values[i]) \
+                * self.punctured[i]
+        return list(acc % self.prod)
 
     # -- device tables ------------------------------------------------------
     def pack(self) -> dict:
