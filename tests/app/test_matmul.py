@@ -190,3 +190,30 @@ def test_bfv_matmul_encrypt_right():
     dec = helper.decrypt_outputs(adapter, h.decryptor, y)
     want = (x.astype(object) @ w.astype(object)) % h.t
     np.testing.assert_array_equal(dec.astype(object) % h.t, want)
+
+
+def test_ring2k_wide_matmul():
+    """BumbleBee matmul over Z_2^72 — the reference's u128 template range
+    (ref: bfv_ring2k.cu uint128_t instantiation; test/app matmul ring2k)."""
+    from troy_tpu.app.ring2k import PolynomialEncoderRing2k
+    from troy_tpu.app.encoder_adapter import Ring2kEncoderAdapter
+
+    n, k = 64, 72
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30,) * 6)
+    enc = PolynomialEncoderRing2k(h.context, k)
+    adapter = Ring2kEncoderAdapter(enc)
+    mask = (1 << k) - 1
+    batch, in_d, out_d = 2, 3, 2
+    helper = MatmulHelper(batch, in_d, out_d, n,
+                          MatmulObjective.EncryptLeft, pack_lwe=False)
+    x = np.array([[int.from_bytes(RNG.bytes(16), "little") & mask
+                   for _ in range(in_d)] for _ in range(batch)], dtype=object)
+    w = np.array([[int.from_bytes(RNG.bytes(16), "little") & mask
+                   for _ in range(out_d)] for _ in range(in_d)], dtype=object)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    w_enc = helper.encode_weights(adapter, w)
+    y = helper.matmul(h.evaluator, x_enc, w_enc)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    want = (x @ w) & mask
+    got = np.vectorize(lambda v: int(v) & mask, otypes=[object])(dec)
+    np.testing.assert_array_equal(got, want)

@@ -11,9 +11,10 @@ gamma for the exact {t=2^k, gamma} decrypt rounding:
   centralize : centered lift of m mod 2^k (multiply_plain operand form)
   scale_down : BEHZ {t, gamma} rounding of t*phase/Q, masked to k bits
 
-This build supports k <= 31 (u32 messages); u64/u128 message words (k <= 128,
-pybind exposes u32/u64 in the reference) decompose into 32-bit planes and are
-planned for a follow-up round — see README roadmap.
+k <= 31 messages ride the u32 fast path directly; 31 < k <= 128 (the
+reference's u64/u128 template instantiations, pybind exposes u32/u64)
+decompose into 16-bit limb planes and run the same scale_up / centralize /
+scale_down pipeline fully on device (ops/limb.py multiword arithmetic).
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ from ..core.decryptor import Decryptor
 from ..core.ciphertext import Ciphertext
 from ..utils import numth
 from ..ops import u32 as U
+from ..ops import limb as LB
 from ..rns.rns_base import RNSBase, BaseConverter
 from ..rns.rns_tool import _aux_primes, _shoup_arr, _col
 
@@ -127,13 +129,117 @@ class _Ring2kLevelHelper:
         return (corrected * self.inv_gamma_mod_t) & mask
 
 
+class _Ring2kWideLevelHelper:
+    """Per-level constants and device kernels for 31 < k <= 128
+    (ref: bfv_ring2k.cu u64/u128 template instantiations; here a k-bit word
+    is W = ceil(k/16) 16-bit limb planes, ops/limb.py)."""
+
+    def __init__(self, cd: ContextData, k: int):
+        self.k = k
+        self.cd = cd
+        self.W = LB.width(k)
+        t = 1 << k
+        Q = cd.base_q.prod
+        qv = cd.base_q.values
+        if Q >> k < (1 << 16):
+            raise ValueError(
+                f"[PolynomialEncoderRing2k] k={k} leaves under 16 bits of "
+                f"noise margin at this level (log Q = {Q.bit_length()})")
+        used = set(qv)
+        gamma = _aux_primes(cd.parms.poly_modulus_degree, used, 1,
+                            need_ntt=False)[0]
+        self.gamma = Modulus(gamma)
+        # scale_up: round(m*Q/t) = m*(Q>>k) + (m*(Q mod t) + t/2) >> k
+        delta = Q >> k
+        w, ws = _shoup_arr([delta % q for q in qv], qv)
+        self.delta_mod_q, self.delta_mod_q_shoup = _col(w), _col(ws)
+        self.r_limbs = LB.const_limbs(Q & (t - 1), self.W)
+        # 2^(16w) mod q_i columns for folding limbs into RNS residues
+        self.pow16 = [
+            _col(np.array([pow(2, 16 * i, q) for q in qv], dtype=np.uint32))
+            for i in range(self.W)
+        ]
+        self.neg_t_mod_q = _col(
+            np.array([(-t) % q for q in qv], dtype=np.uint32))
+        # {t, gamma} decrypt constants (t side in limbs, gamma side u32)
+        w, ws = _shoup_arr([(t * gamma) % q for q in qv], qv)
+        self.prod_t_gamma_mod_q, self.prod_t_gamma_mod_q_shoup = _col(w), _col(ws)
+        self.mat_gamma = [p % gamma for p in cd.base_q.punctured]
+        self.mat_t = [LB.const_limbs(p & (t - 1), self.W)
+                      for p in cd.base_q.punctured]
+        nig = (-numth.invert_mod(Q % gamma, gamma)) % gamma
+        self.neg_inv_q_mod_gamma = U.u32(nig)
+        self.neg_inv_q_mod_gamma_shoup = U.u32((nig << 32) // gamma)
+        self.neg_inv_q_mod_t = LB.const_limbs(
+            (-numth.invert_mod(Q % t, t)) % t, self.W)
+        self.gamma_limbs = LB.const_limbs(gamma, self.W)
+        self.inv_gamma_mod_t = LB.const_limbs(
+            numth.invert_mod(gamma, t), self.W)
+        self.half_gamma = U.u32(gamma >> 1)
+        cd.base_q.pack()
+
+    _qtabs = _Ring2kLevelHelper._qtabs
+
+    # ------------------------------------------------------------------
+    def scale_up(self, m: jnp.ndarray) -> jnp.ndarray:
+        """m: (..., W, n) limbs in [0, 2^k) -> (..., L, n) round(m*Q/2^k)
+        mod q (ref: bfv_ring2k.cu scale_up<T>)."""
+        q, qhi, qlo = self._qtabs(m)
+        m_mod = LB.fold_mod_q(m, self.pow16, q, qhi, qlo)
+        prod = U.shoup_mul(m_mod, self.delta_mod_q, self.delta_mod_q_shoup, q)
+        full = LB.mul_const_full(m, self.r_limbs)
+        fix = LB.shift_right(LB.add_bit(full, self.k - 1), self.k)
+        fix_mod = LB.fold_mod_q(fix[..., : self.W, :], self.pow16, q, qhi, qlo)
+        return U.add_mod(prod, fix_mod, q)
+
+    def centralize(self, m: jnp.ndarray) -> jnp.ndarray:
+        """Centered lift of (..., W, n) limbs (ref: centralize<T>)."""
+        q, qhi, qlo = self._qtabs(m)
+        m_mod = LB.fold_mod_q(m, self.pow16, q, qhi, qlo)
+        is_upper = LB.get_bit(m, self.k - 1)[..., None, :] != 0
+        return jnp.where(is_upper, U.add_mod(m_mod, self.neg_t_mod_q, q), m_mod)
+
+    def scale_down(self, phase: jnp.ndarray) -> jnp.ndarray:
+        """(..., L, n) phase -> (..., W, n) limbs of round(2^k*phase/Q) mod
+        2^k (ref: scale_down<T>; BEHZ {t, gamma} with t = 2^k so mod-t
+        arithmetic is limb masking)."""
+        k = self.k
+        q, _, _ = self._qtabs(phase)
+        tmp = U.shoup_mul(phase, self.prod_t_gamma_mod_q,
+                          self.prod_t_gamma_mod_q_shoup, q)
+        ip = self.cd.base_q.pack()
+        lead = (1,) * (phase.ndim - 2)
+        v = U.shoup_mul(tmp, ip["inv_punctured"].reshape(lead + (-1, 1)),
+                        ip["inv_punctured_shoup"].reshape(lead + (-1, 1)), q)
+        L = self.cd.base_q.size
+        # gamma residue: plain u32 dot mod the aux prime
+        g = U.u32(self.gamma.value)
+        pairs = [(v[..., i : i + 1, :], U.u32(self.mat_gamma[i]))
+                 for i in range(L)]
+        s_g = U.dot_mod(pairs, g, U.u32(self.gamma.ratio64_hi),
+                        U.u32(self.gamma.ratio64_lo))[..., 0, :]
+        s_g = U.shoup_mul(s_g, self.neg_inv_q_mod_gamma,
+                          self.neg_inv_q_mod_gamma_shoup, g)
+        # t residue: limb dot mod 2^k
+        s_t = LB.dot_const_low([v[..., i, :] for i in range(L)],
+                               self.mat_t, k)
+        s_t = LB.mul_const_low(s_t, self.neg_inv_q_mod_t, k)
+        # correct the gamma share and divide by gamma mod 2^k
+        sg_limbs = LB.u32_split(s_g)
+        upper = LB.sub_low(LB.add_const_low(s_t, self.gamma_limbs, k),
+                           sg_limbs, k)
+        lower = LB.sub_low(s_t, sg_limbs, k)
+        res = jnp.where((s_g > self.half_gamma)[..., None, :], upper, lower)
+        return LB.mul_const_low(res, self.inv_gamma_mod_t, k)
+
+
 class PolynomialEncoderRing2k:
     """ref: bfv_ring2k.h PolynomialEncoderRing2k<T>.
 
-    k <= 31: fully device-resident u32 fast path (_Ring2kLevelHelper).
-    32 <= k <= 128: host big-int path (client-side encode/decode only; the
-    homomorphic server side is unchanged u32 RNS) — covers the reference's
-    u64/u128 template instantiations.
+    k <= 31: u32 fast path (_Ring2kLevelHelper).
+    31 < k <= 128: 16-bit limb-plane device path (_Ring2kWideLevelHelper) —
+    covers the reference's u64/u128 template instantiations; a host big-int
+    oracle (`*_host` methods) backs the parity tests.
     """
 
     def __init__(self, context: HeContext, k: int):
@@ -144,11 +250,11 @@ class PolynomialEncoderRing2k:
         self.n = context.first_context_data().parms.poly_modulus_degree
         self._helpers: dict[ParmsID, _Ring2kLevelHelper] = {}
 
-    def helper(self, parms_id: ParmsID | None = None) -> _Ring2kLevelHelper:
+    def helper(self, parms_id: ParmsID | None = None):
         pid = parms_id or self.context.first_parms_id
         if pid not in self._helpers:
-            self._helpers[pid] = _Ring2kLevelHelper(
-                self.context.get_context_data(pid), self.k)
+            cls = _Ring2kLevelHelper if self.k <= 31 else _Ring2kWideLevelHelper
+            self._helpers[pid] = cls(self.context.get_context_data(pid), self.k)
         return self._helpers[pid]
 
     def _vec(self, values) -> jnp.ndarray:
@@ -164,42 +270,40 @@ class PolynomialEncoderRing2k:
             out[i] = int(v) & mask
         return out
 
+    def _vec_limbs(self, values) -> jnp.ndarray:
+        """Pad/mask message ints to n and split into (W, n) 16-bit limbs."""
+        return jnp.asarray(LB.from_ints(self._vec_int(values), self.k))
+
     def scale_up(self, values, parms_id: ParmsID | None = None) -> Plaintext:
+        h = self.helper(parms_id)
+        m = self._vec(values) if self.k <= 31 else self._vec_limbs(values)
+        return Plaintext(h.scale_up(m), parms_id=h.cd.parms_id,
+                         is_ntt_form=False)
+
+    def centralize(self, values, parms_id: ParmsID | None = None) -> Plaintext:
+        h = self.helper(parms_id)
+        m = self._vec(values) if self.k <= 31 else self._vec_limbs(values)
+        return Plaintext(h.centralize(m), parms_id=h.cd.parms_id,
+                         is_ntt_form=False)
+
+    def scale_down(self, phase: Plaintext) -> np.ndarray:
+        h = self.helper(phase.parms_id)
         if self.k <= 31:
-            h = self.helper(parms_id)
-            return Plaintext(h.scale_up(self._vec(values)),
-                             parms_id=h.cd.parms_id, is_ntt_form=False)
-        # host big-int path (ref: bfv_ring2k.cu u64/u128 instantiations)
+            return np.asarray(h.scale_down(phase.data)).astype(np.uint64)
+        return LB.to_ints(np.asarray(h.scale_down(phase.data)), self.k)
+
+    # -- host big-int oracle (parity tests; matches the device path bit
+    #    for bit — ref semantics: bfv_ring2k.cu scale_up/scale_down) --------
+    def scale_up_host(self, values, parms_id: ParmsID | None = None) -> Plaintext:
         pid = parms_id or self.context.first_parms_id
         cd = self.context.get_context_data(pid)
         Q = cd.base_q.prod
         t = 1 << self.k
-        if Q >> self.k < (1 << 16):
-            raise ValueError(
-                f"[PolynomialEncoderRing2k] k={self.k} leaves under 16 bits "
-                f"of noise margin at this level (log Q = {Q.bit_length()})")
         scaled = [(m * Q + t // 2) // t for m in self._vec_int(values)]
         return Plaintext(jnp.asarray(cd.base_q.decompose_array_host(scaled)),
                          parms_id=pid, is_ntt_form=False)
 
-    def centralize(self, values, parms_id: ParmsID | None = None) -> Plaintext:
-        if self.k <= 31:
-            h = self.helper(parms_id)
-            return Plaintext(h.centralize(self._vec(values)),
-                             parms_id=h.cd.parms_id, is_ntt_form=False)
-        pid = parms_id or self.context.first_parms_id
-        cd = self.context.get_context_data(pid)
-        t = 1 << self.k
-        centered = [m - t if m >= t // 2 else m for m in self._vec_int(values)]
-        arr = np.empty((cd.base_q.size, self.n), dtype=np.uint32)
-        for i, q in enumerate(cd.base_q.values):
-            arr[i] = np.array([c % q for c in centered], dtype=np.uint32)
-        return Plaintext(jnp.asarray(arr), parms_id=pid, is_ntt_form=False)
-
-    def scale_down(self, phase: Plaintext) -> np.ndarray:
-        if self.k <= 31:
-            h = self.helper(phase.parms_id)
-            return np.asarray(h.scale_down(phase.data)).astype(np.uint64)
+    def scale_down_host(self, phase: Plaintext) -> np.ndarray:
         cd = self.context.get_context_data(phase.parms_id)
         Q = cd.base_q.prod
         t = 1 << self.k
