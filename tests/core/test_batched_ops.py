@@ -89,3 +89,93 @@ def test_batched_bgv_multiply():
     cts2 = [h.encrypt(m) for m in ms2]
     for out, m1, m2 in zip(h.evaluator.multiply_batched(cts1, cts2), ms1, ms2):
         np.testing.assert_array_equal(h.decrypt(out), m1 * m2 % h.t)
+
+
+def test_batched_galois_rotation_matches_scalar():
+    """rotate_rows/columns/apply_galois batched == scalar per element
+    (ref: evaluator.h rotate_rows_batched / apply_galois_batched)."""
+    h = make()
+    glk = h.keygen.create_galois_keys()
+    ms = [h.random_simd(RNG) for _ in range(B)]
+    cts = [h.encrypt(m) for m in ms]
+    outs = h.evaluator.rotate_rows_batched(cts, 1, glk)
+    for out, ct in zip(outs, cts):
+        want = h.decrypt(h.evaluator.rotate_rows(ct, 1, glk))
+        np.testing.assert_array_equal(h.decrypt(out), want)
+    outs = h.evaluator.rotate_columns_batched(cts, glk)
+    for out, ct in zip(outs, cts):
+        want = h.decrypt(h.evaluator.rotate_columns(ct, glk))
+        np.testing.assert_array_equal(h.decrypt(out), want)
+
+
+def test_batched_keyswitching_matches_scalar():
+    from troy_tpu.core.keygen import KeyGenerator
+    from troy_tpu.core.encryptor import Encryptor
+
+    h = make()
+    kg2 = KeyGenerator(h.context)
+    enc2 = Encryptor(h.context, sk=kg2.secret_key)
+    ksk = kg2.create_keyswitching_key(h.sk)
+    ms = [h.random_simd(RNG) for _ in range(B)]
+    cts = [enc2.encrypt_symmetric(h.encoder.encode(m)) for m in ms]
+    outs = h.evaluator.apply_keyswitching_batched(cts, ksk)
+    for out, m in zip(outs, ms):
+        np.testing.assert_array_equal(h.decrypt(out), m)
+
+
+def test_batched_ntt_transforms_roundtrip():
+    h = make()
+    ms = [h.random_simd(RNG) for _ in range(B)]
+    cts = [h.encrypt(m) for m in ms]
+    ntts = h.evaluator.transform_to_ntt_batched(cts)
+    assert all(c.is_ntt_form for c in ntts)
+    back = h.evaluator.transform_from_ntt_batched(ntts)
+    for out, m in zip(back, ms):
+        np.testing.assert_array_equal(h.decrypt(out), m)
+
+
+def test_batched_relinearize_size4():
+    # depth-2 product needs a deeper chain than make()'s 2 working limbs
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30,) * 5)
+    rlk = h.keygen.create_relin_keys(max_power=3)
+    ms = [h.random_simd(RNG) for _ in range(B)]
+    cts = [h.encrypt(m) for m in ms]
+    sq = h.evaluator.multiply_batched(cts, cts)          # size 3
+    cub = [h.evaluator.multiply(a, b) for a, b in zip(sq, cts)]  # size 4
+    rels = h.evaluator.relinearize_batched(cub, rlk)
+    for out, m in zip(rels, ms):
+        assert out.size == 2
+        np.testing.assert_array_equal(h.decrypt(out), m * m % h.t * m % h.t)
+
+
+def test_mod_switch_drop_to_ckks():
+    """Drop two levels without scaling; decrypt still matches
+    (ref: evaluator_modswitch.cu:173 mod_switch_drop_to_internal)."""
+    h = GeneralHeContext("CKKS", 32, q_bits=(30, 30, 30, 30), scale=2.0 ** 25)
+    m = RNG.standard_normal(h.encoder.slot_count)
+    ct = h.encrypt(m)
+    cd = h.context.get_context_data(ct.parms_id)
+    target = cd.next.next.parms_id
+    dropped = h.evaluator.mod_switch_drop_to(ct, target)
+    assert dropped.parms_id == target
+    np.testing.assert_allclose(h.decrypt(dropped).real, m, atol=1e-3)
+    # plaintext variant
+    pt = h.encoder.encode(m, scale=h.scale)
+    ptd = h.evaluator.mod_switch_drop_to_plain(pt, target)
+    assert ptd.parms_id == target
+    # batched variant + mod_switch_to_batched
+    outs = h.evaluator.mod_switch_drop_to_batched([ct, ct], target)
+    assert all(o.parms_id == target for o in outs)
+    outs2 = h.evaluator.mod_switch_to_batched([ct, ct], target)
+    for o in outs2:
+        np.testing.assert_allclose(h.decrypt(o).real, m, atol=1e-3)
+
+
+def test_mod_switch_drop_to_rejects_upward():
+    h = GeneralHeContext("CKKS", 32, q_bits=(30, 30, 30))
+    m = RNG.standard_normal(h.encoder.slot_count)
+    ct = h.encrypt(m)
+    low = h.evaluator.mod_switch_to_next(ct)
+    import pytest
+    with pytest.raises(ValueError):
+        h.evaluator.mod_switch_drop_to(low, ct.parms_id)

@@ -970,18 +970,28 @@ class Evaluator(LweOpsMixin):
         return out
 
     def relinearize_batched(self, cts, rlk: RelinKeys) -> list[Ciphertext]:
-        if any(ct.size != 3 for ct in cts):
-            raise ValueError("[Evaluator.relinearize_batched] size-3 only "
-                             "(use relinearize for larger sizes)")
+        if not cts:
+            return []
+        size = cts[0].size
+        if size < 3:
+            raise ValueError("[Evaluator.relinearize_batched] ciphertext "
+                             "size must be >= 3")
+        if any(ct.size != size for ct in cts):
+            # mixed sizes cannot stack — fall back to the scalar path
+            return [self.relinearize(ct, rlk) for ct in cts]
         cd = self._cd(cts[0])
         ntt_form = cts[0].is_ntt_form
         self._switch_tables(cd)
         stacked = self._stack(cts)
-        target = stacked[:, 2]
-        if ntt_form:
-            target = R.ntt_inverse(target, cd.qtab())
-        sw = self._switch_key(cd, target, rlk.key(2), out_ntt=ntt_form)
-        res = R.add(stacked[:, :2], sw, cd.qtab())
+        qtab = cd.qtab()
+        acc = None
+        for k in range(2, size):
+            target = stacked[:, k]
+            if ntt_form:
+                target = R.ntt_inverse(target, qtab)
+            sw = self._switch_key(cd, target, rlk.key(k), out_ntt=ntt_form)
+            acc = sw if acc is None else R.add(acc, sw, qtab)
+        res = R.add(stacked[:, :2], acc, qtab)
         return self._unstack(res, cts[0], cts)
 
     def multiply_plain_batched(self, cts, plains) -> list[Ciphertext]:
@@ -1004,6 +1014,188 @@ class Evaluator(LweOpsMixin):
     def mod_switch_to_next_batched(self, cts) -> list[Ciphertext]:
         return [self.mod_switch_to_next(ct) for ct in cts]
 
+    def mod_switch_to_batched(self, cts, parms_id: ParmsID) -> list[Ciphertext]:
+        return [self.mod_switch_to(ct, parms_id) for ct in cts]
+
+    def rescale_to_next_batched(self, cts) -> list[Ciphertext]:
+        return [self.rescale_to_next(ct) for ct in cts]
+
+    # -- drop-to family (ref: evaluator_modswitch.cu:173
+    #    mod_switch_drop_to_internal: copy the limb prefix, no scaling) ------
+    def _check_drop_target(self, cd: ContextData, parms_id: ParmsID,
+                           op: str) -> ContextData:
+        target = self.context.get_context_data(parms_id)
+        if target.chain_index < cd.chain_index:
+            raise ValueError(f"[Evaluator.{op}] target level above the "
+                             "ciphertext's level")
+        if list(target.base_q.values) != list(cd.base_q.values[: target.base_q.size]):
+            raise ValueError(f"[Evaluator.{op}] target is not on this chain")
+        return target
+
+    def _check_scale_bound(self, scale: float, target: ContextData, op: str):
+        """(ref: evaluator_utils.h:307 is_scale_within_bounds)."""
+        if target.parms.scheme == SchemeType.CKKS:
+            bound = target.base_q.prod.bit_length()
+        else:
+            bound = target.parms.plain_modulus.value.bit_length()
+        import math
+        if scale <= 0 or math.log2(scale) >= bound:
+            raise ValueError(f"[Evaluator.{op}] scale out of bounds for the "
+                             f"target level (2^{bound})")
+
+    def mod_switch_drop_to(self, ct: Ciphertext, parms_id: ParmsID) -> Ciphertext:
+        """Drop limbs down to `parms_id` without scaling (CKKS mod-switch;
+        ref: evaluator_modswitch.cu:173)."""
+        cd = self._cd(ct)
+        if cd.parms.scheme == SchemeType.CKKS and not ct.is_ntt_form:
+            raise ValueError("[Evaluator.mod_switch_drop_to] CKKS ct must be "
+                             "in NTT form")
+        target = self._check_drop_target(cd, parms_id, "mod_switch_drop_to")
+        if cd.parms.scheme == SchemeType.CKKS:
+            self._check_scale_bound(ct.scale, target, "mod_switch_drop_to")
+        out = ct.clone()
+        out.data = ct.data[..., : target.base_q.size, :]
+        out.parms_id = parms_id
+        return out
+
+    def mod_switch_drop_to_plain(self, plain: Plaintext,
+                                 parms_id: ParmsID) -> Plaintext:
+        """(ref: evaluator_modswitch.cu mod_switch_drop_to_plain_internal)."""
+        if not plain.is_ntt_form:
+            raise ValueError("[Evaluator.mod_switch_drop_to_plain] plaintext "
+                             "must be in NTT form")
+        cd = self._cd(plain)
+        target = self._check_drop_target(cd, parms_id,
+                                         "mod_switch_drop_to_plain")
+        out = plain.clone()
+        out.data = plain.data[..., : target.base_q.size, :]
+        out.parms_id = parms_id
+        return out
+
+    def mod_switch_drop_to_batched(self, cts, parms_id: ParmsID) -> list[Ciphertext]:
+        return [self.mod_switch_drop_to(ct, parms_id) for ct in cts]
+
+    # -- batched galois / keyswitching (true stacking: one gather + one
+    #    batched keyswitch per call, ref: evaluator.h apply_galois_batched,
+    #    rotate_*_batched, apply_keyswitching_batched) ----------------------
+    def apply_galois_batched(self, cts, galois_elt: int,
+                             glk: GaloisKeys) -> list[Ciphertext]:
+        if not cts:
+            return []
+        if any(ct.size != 2 for ct in cts):
+            raise ValueError("[Evaluator.apply_galois_batched] needs size-2 cts")
+        cd = self._cd(cts[0])
+        for ct in cts[1:]:
+            self._check_same(cts[0], ct, "apply_galois_batched")
+        tool = GaloisTool.for_context(cd)
+        qtab = cd.qtab()
+        pax = R.poly_axis(qtab)
+        stacked = self._stack(cts)
+        c0 = jnp.take(stacked, 0, axis=pax)
+        c1 = jnp.take(stacked, 1, axis=pax)
+        if cts[0].is_ntt_form:
+            c0g = tool.apply_ntt(c0, galois_elt)
+            target = R.ntt_inverse(tool.apply_ntt(c1, galois_elt), qtab)
+        else:
+            c0g = tool.apply_coeff(c0, galois_elt, qtab)
+            target = tool.apply_coeff(c1, galois_elt, qtab)
+        sw = self._switch_key(cd, target, glk.key(galois_elt),
+                              out_ntt=cts[0].is_ntt_form)
+        sw0 = jnp.take(sw, 0, axis=pax)
+        sw1 = jnp.take(sw, 1, axis=pax)
+        res = jnp.stack([R.add(sw0, c0g, qtab), sw1], axis=pax)
+        return self._unstack(res, cts[0], cts)
+
+    def _rotate_internal_batched(self, cts, steps: int, glk: GaloisKeys):
+        if steps == 0:
+            return [ct.clone() for ct in cts]
+        cd = self._cd(cts[0])
+        n = cd.parms.poly_modulus_degree
+        elt = GaloisTool.get_element_from_step(steps, n)
+        if glk.has(elt):
+            return self.apply_galois_batched(cts, elt, glk)
+        out = cts
+        for s in numth.naf(steps):
+            out = self._rotate_internal_batched(out, s, glk)
+        return out
+
+    def rotate_rows_batched(self, cts, steps: int, glk: GaloisKeys):
+        return self._rotate_internal_batched(cts, steps, glk)
+
+    def rotate_vector_batched(self, cts, steps: int, glk: GaloisKeys):
+        return self._rotate_internal_batched(cts, steps, glk)
+
+    def rotate_columns_batched(self, cts, glk: GaloisKeys):
+        if not cts:
+            return []
+        n = self._cd(cts[0]).parms.poly_modulus_degree
+        return self.apply_galois_batched(
+            cts, GaloisTool.conjugate_element(n), glk)
+
+    complex_conjugate_batched = rotate_columns_batched
+
+    def apply_keyswitching_batched(self, cts, ksk: KSwitchKeys):
+        if not cts:
+            return []
+        if any(ct.size != 2 for ct in cts):
+            raise ValueError("[Evaluator.apply_keyswitching_batched] needs "
+                             "size-2 cts")
+        cd = self._cd(cts[0])
+        qtab = cd.qtab()
+        pax = R.poly_axis(qtab)
+        stacked = self._stack(cts)
+        target = jnp.take(stacked, 1, axis=pax)
+        if cts[0].is_ntt_form:
+            target = R.ntt_inverse(target, qtab)
+        sw = self._switch_key(cd, target, ksk.get(0),
+                              out_ntt=cts[0].is_ntt_form)
+        sw0 = jnp.take(sw, 0, axis=pax)
+        sw1 = jnp.take(sw, 1, axis=pax)
+        c0 = R.add(sw0, jnp.take(stacked, 0, axis=pax), qtab)
+        return self._unstack(jnp.stack([c0, sw1], axis=pax), cts[0], cts)
+
+    # -- batched transforms / shifts (one stacked kernel) -------------------
+    def transform_to_ntt_batched(self, cts) -> list[Ciphertext]:
+        if not cts:
+            return []
+        if any(ct.is_ntt_form for ct in cts):
+            raise ValueError("[Evaluator.transform_to_ntt_batched] already "
+                             "NTT form")
+        cd = self._cd(cts[0])
+        out = self._unstack(R.ntt_forward(self._stack(cts), cd.qtab()),
+                            cts[0], cts)
+        for o in out:
+            o.is_ntt_form = True
+        return out
+
+    def transform_from_ntt_batched(self, cts) -> list[Ciphertext]:
+        if not cts:
+            return []
+        if any(not ct.is_ntt_form for ct in cts):
+            raise ValueError("[Evaluator.transform_from_ntt_batched] not "
+                             "NTT form")
+        cd = self._cd(cts[0])
+        out = self._unstack(R.ntt_inverse(self._stack(cts), cd.qtab()),
+                            cts[0], cts)
+        for o in out:
+            o.is_ntt_form = False
+        return out
+
+    def transform_plain_to_ntt_batched(self, plains, parms_id: ParmsID):
+        return [self.transform_plain_to_ntt(p, parms_id) for p in plains]
+
+    def transform_plain_from_ntt_batched(self, plains):
+        return [self.transform_plain_from_ntt(p) for p in plains]
+
+    def negacyclic_shift_batched(self, cts, shift: int) -> list[Ciphertext]:
+        return [self.negacyclic_shift(ct, shift) for ct in cts]
+
+    def bfv_scale_up_batched(self, plains, parms_id: ParmsID):
+        return [self.bfv_scale_up(p, parms_id) for p in plains]
+
+    def bfv_centralize_batched(self, plains, parms_id: ParmsID):
+        return [self.bfv_centralize(p, parms_id) for p in plains]
+
     # -- reference-style aliases -------------------------------------------
     add_new = add
     sub_new = sub
@@ -1016,3 +1208,28 @@ class Evaluator(LweOpsMixin):
     multiply_plain_new = multiply_plain
     mod_switch_to_next_new = mod_switch_to_next
     rescale_to_next_new = rescale_to_next
+    apply_galois_new = apply_galois
+    apply_keyswitching_new = apply_keyswitching
+    rotate_rows_new = rotate_rows
+    rotate_columns_new = rotate_columns
+    rotate_vector_new = rotate_vector
+    complex_conjugate_new = complex_conjugate
+    negacyclic_shift_new = negacyclic_shift
+    transform_to_ntt_new = transform_to_ntt
+    transform_from_ntt_new = transform_from_ntt
+    add_new_batched = add_batched
+    sub_new_batched = sub_batched
+    multiply_new_batched = multiply_batched
+    negate_new_batched = negate_batched
+    relinearize_new_batched = relinearize_batched
+    multiply_plain_new_batched = multiply_plain_batched
+    mod_switch_to_next_new_batched = mod_switch_to_next_batched
+    apply_galois_new_batched = apply_galois_batched
+    apply_keyswitching_new_batched = apply_keyswitching_batched
+    rotate_rows_new_batched = rotate_rows_batched
+    rotate_columns_new_batched = rotate_columns_batched
+    rotate_vector_new_batched = rotate_vector_batched
+    complex_conjugate_new_batched = complex_conjugate_batched
+    transform_to_ntt_new_batched = transform_to_ntt_batched
+    transform_from_ntt_new_batched = transform_from_ntt_batched
+    translate_batched = _translate_batched
