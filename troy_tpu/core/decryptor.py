@@ -72,7 +72,12 @@ class Decryptor:
             m = cd.rns_tool.decrypt_scale_and_round(ph)
             return Plaintext(m[None, :], parms_id=ct.parms_id)
         if scheme == SchemeType.CKKS:
-            ph = self.phase(ct)  # stays NTT form
+            ph = self.phase(ct)
+            if not ct.is_ntt_form:
+                # coeff-form CKKS ct (e.g. assemble_lwe output): the CKKS
+                # plaintext contract is NTT form (ref: decryptor.cu ckks
+                # branch NTTs the phase of a non-NTT ct)
+                ph = R.ntt_forward(ph, cd.qtab())
             return Plaintext(ph, parms_id=ct.parms_id, scale=ct.scale,
                              is_ntt_form=True)
         if scheme == SchemeType.BGV:

@@ -356,10 +356,11 @@ def plaintext_size_upperbound(pt: Plaintext) -> int:
 
 
 def ciphertext_size_upperbound(ct: Ciphertext) -> int:
+    arr = np.asarray(ct.data)
     polys = 1 if ct.seed is not None else ct.size
-    data = polys * ct.coeff_modulus_size * ct.poly_modulus_degree * 4
+    data = polys * (arr.nbytes // ct.size)  # covers wide (hi, lo) layouts
     seed = 8 if ct.seed is not None else 0
-    return 32 + 2 + 8 + 8 + seed + (1 + 8 * 3) + data + _FRAME_OVERHEAD
+    return 32 + 2 + 8 + 8 + seed + (1 + 8 * arr.ndim) + data + _FRAME_OVERHEAD
 
 
 def kswitch_keys_size_upperbound(keys: KSwitchKeys) -> int:
@@ -389,3 +390,53 @@ def load_lwe(data: bytes) -> LWECiphertext:
     c0 = jnp.asarray(r.array_u32())
     c1 = jnp.asarray(r.array_u32())
     return LWECiphertext(c0, c1, pid, scale, cf)
+
+
+# -- EncryptionParameters (ref: serialize.cu EncryptionParameters cases) ----
+
+def save_parms(parms, mode=CompressionMode.Nil) -> bytes:
+    """scheme / n / coeff moduli (u64 — wide primes) / plain modulus /
+    special-prime flag (ref: encryption_parameters.h save)."""
+    w = Writer()
+    w.u8(int(parms.scheme.value))
+    w.u64(parms.poly_modulus_degree)
+    w.u64(len(parms.coeff_modulus))
+    for m in parms.coeff_modulus:
+        w.u64(m.value)
+    w.u64(parms.plain_modulus.value)
+    w.u8(int(parms.use_special_prime_for_encryption))
+    return compress(w.getvalue(), mode)
+
+
+def load_parms(data: bytes):
+    from ..core.params import EncryptionParameters, SchemeType
+
+    r = Reader(decompress(data)[0])
+    parms = EncryptionParameters(SchemeType(r.u8()))
+    parms.set_poly_modulus_degree(r.u64())
+    parms.set_coeff_modulus([r.u64() for _ in range(r.u64())])
+    t = r.u64()
+    if t:
+        parms.set_plain_modulus(t)
+    parms.use_special_prime_for_encryption = bool(r.u8())
+    return parms
+
+
+def parms_size_upperbound(parms) -> int:
+    return 1 + 8 + 8 + 8 * len(parms.coeff_modulus) + 8 + 1 + _FRAME_OVERHEAD
+
+
+def secret_key_size_upperbound(sk: SecretKey) -> int:
+    arr = np.asarray(sk.data)
+    return 32 + (1 + 8 * arr.ndim) + arr.nbytes + _FRAME_OVERHEAD
+
+
+def public_key_size_upperbound(pk: PublicKey) -> int:
+    return ciphertext_size_upperbound(pk.ciphertext)
+
+
+def lwe_size_upperbound(lwe: LWECiphertext) -> int:
+    c0 = np.asarray(lwe.c0)
+    c1 = np.asarray(lwe.c1)
+    return (32 + 8 + 8 + (1 + 8 * c0.ndim) + c0.nbytes
+            + (1 + 8 * c1.ndim) + c1.nbytes + _FRAME_OVERHEAD)
