@@ -88,3 +88,37 @@ class BatchEncoder:
 
     def decode_polynomial(self, plain: Plaintext) -> np.ndarray:
         return np.asarray(plain.data)[0].astype(np.uint64)
+
+    # ------------------------------------------------------------------
+    # RNS form conversions (ref: batch_encoder.h scale_up/scale_down/
+    # centralize/decentralize — mod-t plaintext <-> RNS Q forms)
+    # ------------------------------------------------------------------
+    def _cd(self, parms_id):
+        return self.context.get_context_data(
+            parms_id or self.context.first_parms_id)
+
+    def scale_up(self, plain: Plaintext, parms_id=None) -> Plaintext:
+        """mod-t coefficients -> round(m*Q/t) in RNS (encrypt form)."""
+        cd = self._cd(parms_id)
+        return Plaintext(cd.scaler.scale_up(plain.data[0]),
+                         parms_id=cd.parms_id, coeff_count=plain.coeff_count)
+
+    def scale_down(self, plain: Plaintext) -> Plaintext:
+        """Inverse of scale_up: round(m*t/Q) mod t (ref: scale_down_new;
+        BEHZ {t, gamma} rounding, rns_tool.decrypt_scale_and_round)."""
+        cd = self.context.get_context_data(plain.parms_id)
+        cd.rns_tool.materialize()
+        m = cd.rns_tool.decrypt_scale_and_round(plain.data)
+        return Plaintext(m[None, :], coeff_count=plain.coeff_count)
+
+    def centralize(self, plain: Plaintext, parms_id=None) -> Plaintext:
+        """mod-t coefficients -> centered lift in RNS (operand form)."""
+        cd = self._cd(parms_id)
+        return Plaintext(cd.scaler.centralize(plain.data[0]),
+                         parms_id=cd.parms_id, coeff_count=plain.coeff_count)
+
+    def decentralize(self, plain: Plaintext) -> Plaintext:
+        """Inverse of centralize (ref: batch_encoder.h decentralize_new)."""
+        cd = self.context.get_context_data(plain.parms_id)
+        m = cd.scaler.decentralize(plain.data)
+        return Plaintext(m[None, :], coeff_count=plain.coeff_count)
