@@ -28,6 +28,7 @@ REPS = int(os.environ.get("TROY_BENCH_REPS", "20"))
 N = int(os.environ.get("TROY_BENCH_N", "8192"))
 LIMBS = int(os.environ.get("TROY_BENCH_LIMBS", "7"))
 OP = os.environ.get("TROY_BENCH_OP", "mul_relin")  # mul_relin | rotate
+SCHEME = os.environ.get("TROY_BENCH_SCHEME", "BFV")  # BFV | CKKS
 CACHE = os.environ.get("TROY_BENCH_CACHE", "/tmp/troy_bench_cache")
 TARGET_OPS_PER_SEC = 750.0  # 5x CPU-SEAL (~150 ops/s) per BASELINE.md
 
@@ -38,15 +39,18 @@ def _log(msg):
     print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
 
 
+def _tag():
+    s = "" if SCHEME == "BFV" else f"_{SCHEME.lower()}"
+    return f"n{N}_L{LIMBS}{s}"
+
+
 def _cache_paths():
-    tag = f"n{N}_L{LIMBS}"
-    return (os.path.join(CACHE, f"{tag}_ct.npy"),
-            os.path.join(CACHE, f"{tag}_keys.npy"))
+    return (os.path.join(CACHE, f"{_tag()}_ct.npy"),
+            os.path.join(CACHE, f"{_tag()}_keys.npy"))
 
 
 def _cache_expected():
-    tag = f"n{N}_L{LIMBS}"
-    return os.path.join(CACHE, f"{tag}_expected.npy")
+    return os.path.join(CACHE, f"{_tag()}_expected.npy")
 
 
 def setup_cache():
@@ -64,6 +68,7 @@ def setup_cache():
     code = f"""
 import bench
 bench.N, bench.LIMBS, bench.CACHE = {N}, {LIMBS}, {CACHE!r}
+bench.SCHEME = {SCHEME!r}
 bench._setup_cache_impl()
 """
     subprocess.run([sys.executable, "-c", code], check=True, env=env,
@@ -79,14 +84,25 @@ def _setup_cache_impl():
     from __graft_entry__ import _build
     from troy_tpu.parallel.batched import BatchedEvaluator
 
-    context, keygen, encryptor, evaluator, encoder = _build(N, [30] * LIMBS, 20)
     rng = np.random.default_rng(7)
-    cd = context.first_context_data()
-    t_val = cd.parms.plain_modulus.value
-    m1 = rng.integers(0, t_val, size=N, dtype=np.uint64)
-    m2 = rng.integers(0, t_val, size=N, dtype=np.uint64)
-    ct1 = encryptor.encrypt_symmetric(encoder.encode(m1))
-    ct2 = encryptor.encrypt_symmetric(encoder.encode(m2))
+    if SCHEME == "CKKS":
+        context, keygen, encryptor, evaluator, encoder = _build_ckks(
+            N, [30] * LIMBS)
+        n2 = encoder.slot_count
+        scale = 2.0 ** 25
+        m1 = rng.uniform(-1, 1, n2)
+        m2 = rng.uniform(-1, 1, n2)
+        ct1 = encryptor.encrypt_symmetric(encoder.encode(m1, scale=scale))
+        ct2 = encryptor.encrypt_symmetric(encoder.encode(m2, scale=scale))
+        cd = context.first_context_data()
+    else:
+        context, keygen, encryptor, evaluator, encoder = _build(N, [30] * LIMBS, 20)
+        cd = context.first_context_data()
+        t_val = cd.parms.plain_modulus.value
+        m1 = rng.integers(0, t_val, size=N, dtype=np.uint64)
+        m2 = rng.integers(0, t_val, size=N, dtype=np.uint64)
+        ct1 = encryptor.encrypt_symmetric(encoder.encode(m1))
+        ct2 = encryptor.encrypt_symmetric(encoder.encode(m2))
     rlk = keygen.create_relin_keys()
     # expected single-op output via the default radix-2 path (ground truth)
     batched = BatchedEvaluator(evaluator, cd)
@@ -100,6 +116,25 @@ def _setup_cache_impl():
     np.save(ct_path, np.stack([np.asarray(ct1.data), np.asarray(ct2.data)]))
     np.save(keys_path, np.asarray(keys))
     np.save(_cache_expected(), expected)
+
+
+def _build_ckks(n: int, q_bits: list[int], seed: int = 0xBEEF):
+    from troy_tpu.core.params import EncryptionParameters, SchemeType
+    from troy_tpu.core.context import HeContext
+    from troy_tpu.core.coeff_modulus import CoeffModulus, SecurityLevel
+    from troy_tpu.core.keygen import KeyGenerator
+    from troy_tpu.core.encryptor import Encryptor
+    from troy_tpu.core.evaluator import Evaluator
+    from troy_tpu.core.ckks_encoder import CKKSEncoder
+
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, q_bits))
+    context = HeContext.create(parms, True, SecurityLevel.Nil, seed)
+    keygen = KeyGenerator(context)
+    encryptor = Encryptor(context, pk=keygen.create_public_key(),
+                          sk=keygen.secret_key)
+    return context, keygen, encryptor, Evaluator(context), CKKSEncoder(context)
 
 
 def main():
@@ -126,10 +161,11 @@ def main():
     from troy_tpu.core.evaluator import Evaluator
 
     with jax.default_device(jax.devices("cpu")[0]):
-        parms = EncryptionParameters(SchemeType.BFV)
+        parms = EncryptionParameters(SchemeType[SCHEME])
         parms.set_poly_modulus_degree(N)
         parms.set_coeff_modulus(CoeffModulus.create(N, [30] * LIMBS))
-        parms.set_plain_modulus(PlainModulus.batching(N, 20))
+        if SCHEME != "CKKS":
+            parms.set_plain_modulus(PlainModulus.batching(N, 20))
         context = HeContext.create(parms, True, SecurityLevel.Nil, 0xBEEF)
         evaluator = Evaluator(context)
         cd = context.first_context_data()
@@ -203,7 +239,7 @@ def main():
     ops_per_sec = BATCH * REPS / dt
     _log(f"{dt*1e3/REPS:.3f} ms per batched step")
     print(json.dumps({
-        "metric": f"bfv_n{N}_{OP}_ops_per_sec",
+        "metric": f"{SCHEME.lower()}_n{N}_{OP}_ops_per_sec",
         "value": round(ops_per_sec, 2),
         "unit": "ciphertexts/s",
         "vs_baseline": round(ops_per_sec / TARGET_OPS_PER_SEC, 3),

@@ -48,26 +48,33 @@ def main():
 
     from troy_tpu.ops.ntt_pallas import ntt_forward_pallas
 
+    from jax import lax
+
+    results = {}
     for name, fn, pack in [
         ("radix2", ntt_forward, rpack),
         ("sixstep", ntt_forward_sixstep, sspack),
         ("mxu", lambda a, t: ntt_forward_mxu(a, t), mpack),
         ("pallas", ntt_forward_pallas, sspack),
     ]:
-        jfn = jax.jit(lambda a, t=pack, f=fn: f(a, t))
-        out = jfn(xj)
-        jax.block_until_ready(out)
-        # chain iterations (out feeds back in) so the runtime cannot dedupe
-        # or overlap identical computations
+        # one jitted fori_loop chaining `reps` data-dependent transforms
+        # (out feeds back in), terminated by a one-element host readback:
+        # block_until_ready alone returns early on the remote platform
+        loop = jax.jit(lambda a, t=pack, f=fn: lax.fori_loop(
+            0, reps, lambda i, c: f(c, t), a))
+        warm = loop(xj)
+        _ = np.asarray(warm[(0,) * warm.ndim])
+        xp = jax.block_until_ready(xj ^ jnp.uint32(1))
+        _ = np.asarray(xp[(0,) * xp.ndim])
         t0 = time.perf_counter()
-        out = xj
-        for _ in range(reps):
-            out = jfn(out)
-        jax.block_until_ready(out)
+        out = loop(xp)
+        _ = np.asarray(out[(0,) * out.ndim])
         dt = (time.perf_counter() - t0) / reps
         per_poly_ns = dt / (B * L) * (1 << 14) / n * 1e9
+        results[name] = per_poly_ns
         print(f"{name:8s}: {dt*1e3:8.3f} ms/batch({B}x{L}x{n})  "
               f"= {per_poly_ns:9.0f} ns per 2^14-poly-limb")
+    return results
 
 
 if __name__ == "__main__":

@@ -101,7 +101,26 @@ def main():
         ct1 = encryptor.encrypt_asymmetric(pt)
         ct2 = encryptor.encrypt_asymmetric(pt)
 
+    from troy_tpu.ops.galois import GaloisTool
+
+    with jax.default_device(cpu):
+        conj_elt = GaloisTool.conjugate_element(n)
+        cglk = keygen.create_galois_keys_from_elements([conj_elt])
+
     reps = args.reps
+    # client-side ops (host CPU by design: encode/decode run client-side)
+    if scheme == SchemeType.CKKS:
+        bench_op("encode_simd", lambda: encoder.encode(v, scale=scale),
+                 lambda p: p.data, reps)
+    else:
+        bench_op("encode_simd", lambda: encoder.encode(v),
+                 lambda p: p.data, reps)
+    bench_op("decode_simd", lambda: encoder.decode(pt), lambda x: x, reps)
+    bench_op("encrypt_asymmetric",
+             lambda: encryptor.encrypt_asymmetric(pt), lambda c: c.data, reps)
+    bench_op("encrypt_symmetric",
+             lambda: encryptor.encrypt_symmetric(pt), lambda c: c.data, reps)
+    bench_op("decrypt", lambda: decryptor.decrypt(ct1), lambda p: p.data, reps)
     bench_op("negate", lambda: evaluator.negate(ct1), lambda c: c.data, reps)
     bench_op("add", lambda: evaluator.add(ct1, ct2), lambda c: c.data, reps)
     prod = evaluator.multiply(ct1, ct2)
@@ -118,6 +137,14 @@ def main():
                  lambda c: c.data, reps)
     bench_op("rotate(1)", lambda: evaluator._rotate_internal(ct1, 1, glk),
              lambda c: c.data, reps)
+    if scheme == SchemeType.CKKS:
+        bench_op("complex_conjugate",
+                 lambda: evaluator.complex_conjugate(ct1, cglk),
+                 lambda c: c.data, reps)
+    else:
+        bench_op("rotate_columns",
+                 lambda: evaluator.rotate_columns(ct1, cglk),
+                 lambda c: c.data, reps)
 
     if not args.no_test_correct and scheme != SchemeType.CKKS:
         rel = evaluator.relinearize(prod, rlk)
