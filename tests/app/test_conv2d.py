@@ -88,3 +88,31 @@ def test_ring2k_conv2d():
                                    * kern[oc, ic].astype(object)).sum())
                               for ic in range(Ci)) & mask
                     assert int(dec[b, oc, i, j]) & mask == acc
+
+
+def test_conv2d_ring2k_wide():
+    """Cheetah conv2d over Z_2^40 (wide limb-plane encoder path)."""
+    from troy_tpu.app.ring2k import PolynomialEncoderRing2k
+    from troy_tpu.app.encoder_adapter import Ring2kEncoderAdapter
+
+    n, k = 64, 40
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30,) * 4)
+    enc = PolynomialEncoderRing2k(h.context, k)
+    adapter = Ring2kEncoderAdapter(enc)
+    mask = (1 << k) - 1
+    B, Ci, Co, H, W, kh, kw = 1, 1, 1, 3, 3, 2, 2
+    helper = Conv2dHelper(B, Ci, Co, H, W, kh, kw, n,
+                          MatmulObjective.EncryptLeft)
+    x = RNG.integers(0, 1 << 20, (B, Ci, H, W), dtype=np.uint64)
+    kern = RNG.integers(0, 1 << 20, (Co, Ci, kh, kw), dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    k_pt = helper.encode_weights(adapter, kern)
+    y = helper.conv2d(h.evaluator, x_enc, k_pt)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y)
+    want = np.zeros((B, Co, H - kh + 1, W - kw + 1), dtype=object)
+    for i in range(H - kh + 1):
+        for j in range(W - kw + 1):
+            want[0, 0, i, j] = int((x[0, 0, i:i+kh, j:j+kw].astype(object)
+                                    * kern[0, 0].astype(object)).sum()) & mask
+    got = np.vectorize(lambda v: int(v) & mask, otypes=[object])(dec)
+    np.testing.assert_array_equal(got, want)

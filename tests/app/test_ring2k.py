@@ -138,3 +138,19 @@ def test_wide_multiply_centralized_plain():
             want[idx] += sgn * m1[i] * m2[j]
     got = enc.decrypt_scale_down(h.decryptor, prod)
     assert [int(g) for g in got] == [w & mask for w in want]
+
+
+def test_k32_boundary():
+    """k=32 is the first wide-width value (W=2 limbs) — roundtrip + add."""
+    k = 32
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30,) * 4)
+    enc = PolynomialEncoderRing2k(h.context, k)
+    mask = (1 << k) - 1
+    m1 = [int.from_bytes(RNG.bytes(4), "little") for _ in range(h.n)]
+    m2 = [int.from_bytes(RNG.bytes(4), "little") for _ in range(h.n)]
+    ct = h.encryptor.encrypt_asymmetric(enc.scale_up(m1))
+    out = enc.decrypt_scale_down(h.decryptor, ct)
+    assert [int(o) for o in out] == m1
+    s = h.evaluator.add_plain(ct, enc.scale_up(m2))
+    out2 = enc.decrypt_scale_down(h.decryptor, s)
+    assert [int(o) for o in out2] == [(a + b) & mask for a, b in zip(m1, m2)]
