@@ -47,18 +47,23 @@ def test_domain_separation_and_seed_publication():
     assert RandomGenerator().seed != RandomGenerator().seed
 
 
-def test_compat_rng_defaults_fresh_entropy():
-    from troy_tpu.compat.ckks64 import Ckks64Context, _Blake2Rng
+def test_wide_context_defaults_fresh_entropy():
+    """Two default-seeded wide (40-bit-prime) contexts must not share key
+    material (the removed compat stack once defaulted to a fixed seed —
+    ADVICE r1; the unified stack draws OS entropy per context)."""
+    from troy_tpu.core.params import EncryptionParameters, SchemeType
+    from troy_tpu.core.context import HeContext
+    from troy_tpu.core.coeff_modulus import CoeffModulus, SecurityLevel
+    from troy_tpu.core.keygen import KeyGenerator
 
-    c1 = Ckks64Context(4, (40, 40))
-    c2 = Ckks64Context(4, (40, 40))
-    assert c1.seed != c2.seed  # no shared fixed default seed
-    r1, r2 = _Blake2Rng(7), _Blake2Rng(7)
-    v1 = r1.integers(0, (1 << 60) - 87, (64,), dtype=np.uint64)
-    assert (v1 == r2.integers(0, (1 << 60) - 87, (64,), dtype=np.uint64)).all()
-    assert (v1 < np.uint64((1 << 60) - 87)).all()
-    t = r1.integers(-1, 2, (256,))
-    assert set(np.unique(t).tolist()) <= {-1, 0, 1}
+    def fresh_sk():
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(32)
+        parms.set_coeff_modulus(CoeffModulus.create(32, [40, 40]))
+        ctx = HeContext.create(parms, False, SecurityLevel.Nil)
+        return np.asarray(KeyGenerator(ctx).secret_key.data)
+
+    assert not (fresh_sk() == fresh_sk()).all()
 
 
 def test_seeded_c1_regeneration():
