@@ -20,3 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the wide (u64-pair) paths compile slowly on
+# CPU (tens of seconds per level); caching compiled executables across test
+# processes keeps re-runs within the terminal's foreground time budget.
+jax.config.update("jax_compilation_cache_dir", "/tmp/troy_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

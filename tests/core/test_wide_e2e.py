@@ -197,3 +197,30 @@ def test_batched_ops(scheme):
     for o, a, b in zip(prods, vs1, vs2):
         check(h, dec(h, o), a * b if scheme == "CKKS"
               else a.astype(object) * b.astype(object), atol=1e-5)
+
+
+@pytest.mark.parametrize("scheme", ["BFV", "CKKS"])
+def test_stacked_mul_relin_step(scheme):
+    """BatchedEvaluator's fused step (the bench/mesh kernel) must be
+    width-polymorphic: a stacked (B, size, 2, L, n) wide batch through
+    build_mul_relin_step equals the scalar multiply+relinearize path."""
+    import jax
+    from troy_tpu.parallel.batched import BatchedEvaluator
+
+    h = ctx(scheme)
+    cd = h.context.first_context_data()
+    batched = BatchedEvaluator(h.evaluator, cd)
+    B = 3
+    vs1 = [rand_msg(h) for _ in range(B)]
+    vs2 = [rand_msg(h) for _ in range(B)]
+    cts1 = [enc(h, v) for v in vs1]
+    cts2 = [enc(h, v) for v in vs2]
+    keys = h._rlk.key(2)
+    step = batched.build_mul_relin_step(keys)
+    out = jax.jit(step)(batched.stack(cts1), batched.stack(cts2), keys)
+    assert out.shape == (B, 2, 2, cd.coeff_modulus_size, h.n)
+    for i in range(B):
+        want = h.evaluator.relinearize(
+            h.evaluator.multiply(cts1[i], cts2[i]), h._rlk)
+        np.testing.assert_array_equal(np.asarray(out[i]),
+                                      np.asarray(want.data))

@@ -30,6 +30,7 @@ from .plaintext import Plaintext
 from .ciphertext import Ciphertext
 from .keys import KSwitchKeys, RelinKeys, GaloisKeys
 from ..ops import ntt as NTT, poly as P, u32 as U, u64 as W, rp as R
+from ..ops.jitu import safe_stack
 from ..ops.galois import GaloisTool
 from ..utils import numth
 
@@ -523,7 +524,7 @@ class Evaluator(LweOpsMixin):
                             sw["inv_sp_mod_q"][1], sw["inv_sp_mod_q_shoup"][0],
                             sw["inv_sp_mod_q_shoup"][1], qh, ql)
         # (..., 2 polys, L, n) hi/lo -> (..., 2 polys, 2, L, n)
-        return jnp.stack([res[0], res[1]], axis=-3)
+        return safe_stack([res[0], res[1]], axis=-3)
 
     def relinearize(self, ct: Ciphertext, rlk: RelinKeys) -> Ciphertext:
         """size-s -> size-2: switch every poly c_k (k >= 2) with the key for
@@ -556,7 +557,7 @@ class Evaluator(LweOpsMixin):
         sw = self._switch_key(cd, target, ksk.get(0), out_ntt=ct.is_ntt_form)
         out = ct.clone()
         c0 = R.add(sw[0], ct.data[0], cd.qtab())
-        out.data = jnp.stack([c0, sw[1]])
+        out.data = safe_stack([c0, sw[1]])
         return out
 
     # -- galois / rotations (ref: evaluator_keyswitching.cu:179-285) --------
@@ -581,7 +582,7 @@ class Evaluator(LweOpsMixin):
         sw0 = jnp.take(sw, 0, axis=pax)
         sw1 = jnp.take(sw, 1, axis=pax)
         out = ct.clone()
-        out.data = jnp.stack([R.add(sw0, c0g, qtab), sw1])
+        out.data = safe_stack([R.add(sw0, c0g, qtab), sw1])
         return out
 
     def _rotate_internal(self, ct: Ciphertext, steps: int, glk: GaloisKeys) -> Ciphertext:
@@ -1103,7 +1104,7 @@ class Evaluator(LweOpsMixin):
                               out_ntt=cts[0].is_ntt_form)
         sw0 = jnp.take(sw, 0, axis=pax)
         sw1 = jnp.take(sw, 1, axis=pax)
-        res = jnp.stack([R.add(sw0, c0g, qtab), sw1], axis=pax)
+        res = safe_stack([R.add(sw0, c0g, qtab), sw1], axis=pax)
         return self._unstack(res, cts[0], cts)
 
     def _rotate_internal_batched(self, cts, steps: int, glk: GaloisKeys):
@@ -1152,7 +1153,7 @@ class Evaluator(LweOpsMixin):
         sw0 = jnp.take(sw, 0, axis=pax)
         sw1 = jnp.take(sw, 1, axis=pax)
         c0 = R.add(sw0, jnp.take(stacked, 0, axis=pax), qtab)
-        return self._unstack(jnp.stack([c0, sw1], axis=pax), cts[0], cts)
+        return self._unstack(safe_stack([c0, sw1], axis=pax), cts[0], cts)
 
     # -- batched transforms / shifts (one stacked kernel) -------------------
     def transform_to_ntt_batched(self, cts) -> list[Ciphertext]:

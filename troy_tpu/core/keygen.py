@@ -23,6 +23,7 @@ from .keys import SecretKey, PublicKey, KSwitchKeys, RelinKeys, GaloisKeys
 from .ciphertext import Ciphertext
 from .rlwe import encrypt_zero_symmetric, _noise
 from ..ops import ntt as NTT, poly as P, u32 as U, u64 as W, rp as R
+from ..ops.jitu import safe_stack
 from ..utils.random import RandomGenerator
 from ..utils import numth
 
@@ -108,7 +109,7 @@ class KeyGenerator:
             )  # (L_key, n)
             mask = jnp.eye(decomp, L_key, dtype=bool)[:, :, None]
         c0 = jnp.where(mask, R.add(c0, term[None], qtab), c0)
-        return jnp.stack([c0, a], axis=1)
+        return safe_stack([c0, a], axis=1)
 
     # ------------------------------------------------------------------
     def create_relin_keys(self, max_power: int = 2) -> RelinKeys:

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from .params import SchemeType
 from .context import ContextData
 from ..ops import rp as R
+from ..ops.jitu import safe_stack
 from ..utils.random import RandomGenerator, uniform_from_seed
 
 
@@ -58,7 +59,7 @@ def encrypt_zero_symmetric(
     else:
         c0 = R.negate(R.add(R.ntt_inverse(as_ntt, qtab), e, qtab), qtab)
         c1 = R.ntt_inverse(a_ntt, qtab)
-    return jnp.stack([c0, c1])
+    return safe_stack([c0, c1])
 
 
 def encrypt_zero_asymmetric(
@@ -85,4 +86,4 @@ def encrypt_zero_asymmetric(
     else:
         c0 = R.add(R.ntt_inverse(c0_ntt, qtab), e0, qtab)
         c1 = R.add(R.ntt_inverse(c1_ntt, qtab), e1, qtab)
-    return jnp.stack([c0, c1])
+    return safe_stack([c0, c1])

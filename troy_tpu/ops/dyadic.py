@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .jitu import safe_stack
 from . import u32 as U, poly as P
 
 
@@ -25,7 +26,7 @@ def dyadic_convolute(a: jnp.ndarray, b: jnp.ndarray, t: dict) -> jnp.ndarray:
             prod = P.dyadic_product(a[..., i, :, :], b[..., j, :, :], t)
             k = i + j
             out[k] = prod if out[k] is None else U.add_mod(out[k], prod, q)
-    return jnp.stack(out, axis=-3)
+    return safe_stack(out, axis=-3)
 
 
 def dyadic_square(a: jnp.ndarray, t: dict) -> jnp.ndarray:
@@ -38,7 +39,7 @@ def dyadic_square(a: jnp.ndarray, t: dict) -> jnp.ndarray:
     cross = P.dyadic_product(a0, a1, t)
     c1 = U.add_mod(cross, cross, q)
     c2 = P.dyadic_product(a1, a1, t)
-    return jnp.stack([c0, c1, c2], axis=-3)
+    return safe_stack([c0, c1, c2], axis=-3)
 
 
 def dyadic_broadcast_product(a: jnp.ndarray, plain: jnp.ndarray, t: dict) -> jnp.ndarray:

@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .jitu import pack_jit, safe_stack
 from . import u32 as U
 from ..utils import numth
 from ..core.modulus import Modulus
@@ -272,7 +273,7 @@ def _axis2_butterflies_forward(x, psi_br, psi_br_shoup, q):
         tv = U.shoup_mul_lazy(v, w, ws, qb)
         x0 = U.cond_sub(u + tv, two_q)
         x1 = U.cond_sub(u + two_q - tv, two_q)
-        x = jnp.stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
+        x = safe_stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
         m *= 2
         tt //= 2
     return U.cond_sub(x, q.reshape((1,) * len(lead) + (L, 1, 1)))
@@ -294,7 +295,7 @@ def _axis2_butterflies_inverse(x, inv_psi_br, inv_psi_br_shoup, n_inv,
         ws = jax.lax.slice_in_dim(inv_psi_br_shoup, m, 2 * m, axis=1)[:, :, None, None]
         x0 = U.cond_sub(u + v, two_q)
         x1 = U.shoup_mul_lazy(u + two_q - v, w, ws, qb)
-        x = jnp.stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
+        x = safe_stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
         m //= 2
         tt *= 2
     qf = q.reshape((1,) * len(lead) + (L, 1, 1))
@@ -340,6 +341,7 @@ def ntt_inverse_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     return X.reshape(lead + (n,))
 
 
+@pack_jit
 def ntt_forward(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     """Forward negacyclic NTT along the last axis. In: [0,q) natural order;
     out: [0,q) NTT order (ref: fgk/ntt_grouped.cu:33-295).  Dispatches to the
@@ -374,12 +376,13 @@ def ntt_forward(x: jnp.ndarray, t: dict) -> jnp.ndarray:
         tv = U.shoup_mul_lazy(v, w, ws, q)          # [0, 2q)
         x0 = U.cond_sub(u + tv, two_q)               # [0, 2q)
         x1 = U.cond_sub(u + two_q - tv, two_q)       # [0, 2q)
-        x = jnp.stack([x0, x1], axis=-2).reshape(lead + (L, n))
+        x = safe_stack([x0, x1], axis=-2).reshape(lead + (L, n))
         m *= 2
         tt //= 2
     return U.cond_sub(x, q.reshape((1,) * len(lead) + (L, 1)))
 
 
+@pack_jit
 def ntt_inverse(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     """Inverse negacyclic NTT along the last axis. In: [0,q) NTT order;
     out: [0,q) natural order, scaled by n^-1."""
@@ -412,7 +415,7 @@ def ntt_inverse(x: jnp.ndarray, t: dict) -> jnp.ndarray:
         ws = jax.lax.slice_in_dim(t["inv_psi_br_shoup"], m, 2 * m, axis=1)[..., None]
         x0 = U.cond_sub(u + v, two_q)                        # [0, 2q)
         x1 = U.shoup_mul_lazy(u + two_q - v, w, ws, q)       # [0, 2q)
-        x = jnp.stack([x0, x1], axis=-2).reshape(lead + (L, n))
+        x = safe_stack([x0, x1], axis=-2).reshape(lead + (L, n))
         m //= 2
         tt *= 2
     qf = t["q"].reshape((1,) * len(lead) + (L, 1))
@@ -421,5 +424,5 @@ def ntt_inverse(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     return U.shoup_mul(x, ninv, ninv_sh, qf)
 
 
-ntt = jax.jit(ntt_forward)
-intt = jax.jit(ntt_inverse)
+ntt = ntt_forward
+intt = ntt_inverse

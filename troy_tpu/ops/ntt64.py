@@ -19,6 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .jitu import pack_jit, safe_stack
 from . import u64 as W
 from .u32 import U32
 from ..utils import numth
@@ -128,9 +129,14 @@ def _slice_pair(t, key, m, axis=1):
     return h, l
 
 
+@pack_jit
 def ntt_forward64(x_hi, x_lo, t: dict):
     """Forward negacyclic NTT along the last axis of a (hi, lo) pair.
-    In: [0, q) natural order; out: [0, q) NTT order."""
+    In: [0, q) natural order; out: [0, q) NTT order.
+
+    Jitted at the function boundary: eager callers (keygen, rlwe encrypt,
+    decrypt) would otherwise dispatch ~6 pair primitives x log n stages as
+    individual XLA mini-compiles (~3 s per eager wide NTT even at n=32)."""
     n = x_hi.shape[-1]
     L = x_hi.shape[-2]
     lead = x_hi.shape[:-2]
@@ -151,8 +157,8 @@ def ntt_forward64(x_hi, x_lo, t: dict):
         x0h, x0l = W.cond_sub64(*a, q2h, q2l)                        # [0,2q)
         b = W.sub64(*W.add64(uh, ul, q2h, q2l), th, tl)              # u+2q-t
         x1h, x1l = W.cond_sub64(*b, q2h, q2l)                        # [0,2q)
-        x_hi = jnp.stack([x0h, x1h], axis=-2).reshape(lead + (L, n))
-        x_lo = jnp.stack([x0l, x1l], axis=-2).reshape(lead + (L, n))
+        x_hi = safe_stack([x0h, x1h], axis=-2).reshape(lead + (L, n))
+        x_lo = safe_stack([x0l, x1l], axis=-2).reshape(lead + (L, n))
         m *= 2
         tt //= 2
     rf = (1,) * len(lead) + (L, 1)
@@ -160,6 +166,7 @@ def ntt_forward64(x_hi, x_lo, t: dict):
                         t["q_lo"].reshape(rf))
 
 
+@pack_jit
 def ntt_inverse64(x_hi, x_lo, t: dict):
     """Inverse negacyclic NTT along the last axis of a (hi, lo) pair.
     In: [0, q) NTT order; out: [0, q) natural order, scaled by n^-1."""
@@ -182,8 +189,8 @@ def ntt_inverse64(x_hi, x_lo, t: dict):
         x0h, x0l = W.cond_sub64(*a, q2h, q2l)                        # [0,2q)
         d = W.sub64(*W.add64(uh, ul, q2h, q2l), vh, vl)              # u+2q-v
         x1h, x1l = W.shoup_mul64_lazy(*d, wh, wl, sh, sl, qh, ql)    # [0,2q)
-        x_hi = jnp.stack([x0h, x1h], axis=-2).reshape(lead + (L, n))
-        x_lo = jnp.stack([x0l, x1l], axis=-2).reshape(lead + (L, n))
+        x_hi = safe_stack([x0h, x1h], axis=-2).reshape(lead + (L, n))
+        x_lo = safe_stack([x0l, x1l], axis=-2).reshape(lead + (L, n))
         m //= 2
         tt *= 2
     rf = (1,) * len(lead) + (L, 1)
@@ -196,6 +203,7 @@ def ntt_inverse64(x_hi, x_lo, t: dict):
         qh, ql)
 
 
+@pack_jit
 def dyadic_product64(a_hi, a_lo, b_hi, b_lo, t: dict):
     """Elementwise NTT-domain product (ref: utils/poly_smallmod.cu dyadic)."""
     L = a_hi.shape[-2]

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .jitu import pack_jit, safe_stack
 from . import poly as P
 from . import u32 as U
 from . import u64 as W
@@ -42,7 +43,7 @@ def hi_lo(x):
 
 def pair(h, l):
     """Assemble (hi, lo) components into the (..., 2, L, n) wide layout."""
-    return jnp.stack([h, l], axis=-3)
+    return safe_stack([h, l], axis=-3)
 
 
 def poly_axis(t: dict) -> int:
@@ -65,6 +66,7 @@ def _r4(t):
 # elementwise modular ops
 # ---------------------------------------------------------------------------
 
+@pack_jit
 def add(x, y, t):
     if words(t) == 1:
         return P.add(x, y, t)
@@ -74,6 +76,7 @@ def add(x, y, t):
     return pair(*W.add_mod64(h1, l1, h2, l2, qh, ql))
 
 
+@pack_jit
 def sub(x, y, t):
     if words(t) == 1:
         return P.sub(x, y, t)
@@ -83,6 +86,7 @@ def sub(x, y, t):
     return pair(*W.sub_mod64(h1, l1, h2, l2, qh, ql))
 
 
+@pack_jit
 def negate(x, t):
     if words(t) == 1:
         return P.negate(x, t)
@@ -90,6 +94,7 @@ def negate(x, t):
     return pair(*W.neg_mod64(*hi_lo(x), qh, ql))
 
 
+@pack_jit
 def dyadic_product(x, y, t):
     if words(t) == 1:
         return P.dyadic_product(x, y, t)
@@ -98,6 +103,7 @@ def dyadic_product(x, y, t):
     return pair(*W.mul_mod64(h1, l1, h2, l2, *_c2(t), *_r4(t)))
 
 
+@pack_jit
 def multiply_scalar(x, scalar, t):
     """x * scalar mod q; scalar is a host int or u32 array < 2^31 (and below
     every modulus on the wide path, where moduli exceed 2^30)."""
@@ -110,6 +116,7 @@ def multiply_scalar(x, scalar, t):
     return pair(*W.mul_mod64(h, l, jnp.zeros_like(s), s, *_c2(t), *_r4(t)))
 
 
+@pack_jit
 def multiply_operand(x, w, w_shoup, t):
     """x * w mod q with per-limb Shoup constants.  Fast path: w, w_shoup of
     shape (L,); wide path: (2, L) word-stacked arrays."""
@@ -121,6 +128,7 @@ def multiply_operand(x, w, w_shoup, t):
                                qh, ql))
 
 
+@pack_jit
 def modulo(x, t):
     """Reduce arbitrary residues into [0, q) per limb."""
     if words(t) == 1:
@@ -128,6 +136,7 @@ def modulo(x, t):
     return pair(*W.barrett_reduce_u64(*hi_lo(x), *_c2(t), *_r4(t)))
 
 
+@pack_jit
 def negacyclic_shift(x, shift: int, t):
     """Multiply by X^shift in Z_q[X]/(X^n+1) (static shift)."""
     if words(t) == 1:
@@ -157,12 +166,14 @@ def negacyclic_shift(x, shift: int, t):
 # NTT transforms
 # ---------------------------------------------------------------------------
 
+@pack_jit
 def ntt_forward(x, t):
     if words(t) == 1:
         return NTT.ntt_forward(x, t)
     return pair(*N64.ntt_forward64(*hi_lo(x), t))
 
 
+@pack_jit
 def ntt_inverse(x, t):
     if words(t) == 1:
         return NTT.ntt_inverse(x, t)
@@ -181,6 +192,7 @@ def take_tables(t: dict, idx) -> dict:
 # dyadic composites (NTT-domain ciphertext products)
 # ---------------------------------------------------------------------------
 
+@pack_jit
 def dyadic_convolute(a, b, t):
     """result[k] = sum_{i+j=k} a_i * b_j pointwise (ref: fgk/dyadic_convolute.cu)."""
     if words(t) == 1:
@@ -193,9 +205,10 @@ def dyadic_convolute(a, b, t):
             prod = dyadic_product(a[..., i, :, :, :], b[..., j, :, :, :], t)
             k = i + j
             out[k] = prod if out[k] is None else add(out[k], prod, t)
-    return jnp.stack(out, axis=ax)
+    return safe_stack(out, axis=ax)
 
 
+@pack_jit
 def dyadic_square(a, t):
     if words(t) == 1:
         return D.dyadic_square(a, t)
@@ -205,9 +218,10 @@ def dyadic_square(a, t):
     cross = dyadic_product(a0, a1, t)
     c1 = add(cross, cross, t)
     c2 = dyadic_product(a1, a1, t)
-    return jnp.stack([c0, c1, c2], axis=poly_axis(t))
+    return safe_stack([c0, c1, c2], axis=poly_axis(t))
 
 
+@pack_jit
 def dyadic_broadcast_product(a, plain, t):
     """Multiply every ct poly by one NTT-form plaintext poly."""
     if words(t) == 1:
@@ -215,6 +229,7 @@ def dyadic_broadcast_product(a, plain, t):
     return dyadic_product(a, plain[..., None, :, :, :], t)
 
 
+@pack_jit
 def dyadic_broadcast_product_accumulate(a, plain, acc, t):
     if words(t) == 1:
         return D.dyadic_broadcast_product_accumulate(a, plain, acc, t)

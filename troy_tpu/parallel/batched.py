@@ -18,7 +18,7 @@ from ..core.context import HeContext, ContextData
 from ..core.evaluator import Evaluator
 from ..core.ciphertext import Ciphertext
 from ..core.params import SchemeType
-from ..ops import poly as P, u32 as U
+from ..ops import rp as R
 
 
 class BatchedEvaluator:
@@ -53,27 +53,29 @@ class BatchedEvaluator:
 
     # -- batched primitives (pure, traceable) -------------------------------
     def add(self, d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
-        return P.add(d1, d2, self.cd.qtab())
+        return R.add(d1, d2, self.cd.qtab())
 
     def multiply(self, d1: jnp.ndarray, d2: jnp.ndarray | None = None) -> jnp.ndarray:
         if self.cd.parms.scheme != SchemeType.BFV:
-            from ..ops.dyadic import dyadic_convolute, dyadic_square
-
             qtab = self.cd.qtab()
-            return (dyadic_square(d1, qtab) if d2 is None
-                    else dyadic_convolute(d1, d2, qtab))
+            return (R.dyadic_square(d1, qtab) if d2 is None
+                    else R.dyadic_convolute(d1, d2, qtab))
         return self.ev.bfv_multiply_impl(self.cd, d1, d2)
 
     def relinearize(self, d3: jnp.ndarray, rlk_key: jnp.ndarray,
                     ntt_form: bool) -> jnp.ndarray:
-        """d3: (..., 3, L, n) -> (..., 2, L, n)."""
-        from ..ops import ntt as NTT
+        """d3: (..., 3, [2,] L, n) -> (..., 2, [2,] L, n) (the optional
+        axis is the wide path's (hi, lo) word pair, ops/rp.py)."""
+        import jax.lax as lax
 
-        target = d3[..., 2, :, :]
+        qtab = self.cd.qtab()
+        pax = R.poly_axis(qtab)
+        target = jnp.take(d3, 2, axis=pax)
         if ntt_form:
-            target = NTT.ntt_inverse(target, self.cd.qtab())
+            target = R.ntt_inverse(target, qtab)
         sw = self.ev._switch_key_impl(self.cd, target, rlk_key, out_ntt=ntt_form)
-        return P.add(d3[..., :2, :, :], sw, self.cd.qtab())
+        keep = lax.slice_in_dim(d3, 0, 2, axis=pax)
+        return R.add(keep, sw, qtab)
 
     # -- fused step builders ------------------------------------------------
     def build_mul_relin_step(self, rlk_key: jnp.ndarray):
