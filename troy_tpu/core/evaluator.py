@@ -195,9 +195,13 @@ class Evaluator(LweOpsMixin):
         out = ct.clone()
         if scheme == SchemeType.BFV:
             m_ntt = self._plain_to_level(plain, cd, ntt=True)
-            ct_ntt = R.ntt_forward(ct.data, qtab)
-            prod = R.dyadic_broadcast_product(ct_ntt, m_ntt, qtab)
-            out.data = R.ntt_inverse(prod, qtab)
+            if ct.is_ntt_form:
+                # NTT-form BFV ct (ref: evaluator_multiply_plain.cu ntt path)
+                out.data = R.dyadic_broadcast_product(ct.data, m_ntt, qtab)
+            else:
+                ct_ntt = R.ntt_forward(ct.data, qtab)
+                prod = R.dyadic_broadcast_product(ct_ntt, m_ntt, qtab)
+                out.data = R.ntt_inverse(prod, qtab)
         elif scheme == SchemeType.CKKS:
             m_ntt = self._plain_to_level(plain, cd, ntt=True)
             out.data = R.dyadic_broadcast_product(ct.data, m_ntt, qtab)
@@ -1000,7 +1004,7 @@ class Evaluator(LweOpsMixin):
         qtab = cd.qtab()
         m_ntt = jnp.stack([self._plain_to_level(p, cd, ntt=True) for p in plains])
         m_ntt = m_ntt[:, None]  # insert poly axis after the batch axis
-        if cd.parms.scheme == SchemeType.BFV:
+        if cd.parms.scheme == SchemeType.BFV and not cts[0].is_ntt_form:
             ct_ntt = R.ntt_forward(self._stack(cts), qtab)
             prod = R.dyadic_product(ct_ntt, m_ntt, qtab)
             res = R.ntt_inverse(prod, qtab)

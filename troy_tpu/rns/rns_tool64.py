@@ -192,13 +192,16 @@ class RNSTool64:
                 np.array([p % tv for p in base_q.punctured], dtype=np.uint32)
             )[:, None]
             self.q_mod_t = U.U32(Q % tv)
-            # 96-bit fixed-point reciprocals floor(2^96/q_i): THREE u32 words
-            # per limb (wide q > 2^30 keeps the third word small)
-            r96 = [(1 << 96) // q for q in q_values]
-            self.r96_words = tuple(
-                jnp.asarray(np.array([(r >> (32 * w)) & _M32 for r in r96],
+            # 128-bit fixed-point reciprocals floor(2^128/q_i): FOUR u32
+            # words per limb, least-significant first.  Per-term error
+            # v_i * (2^128/q - floor) / 2^128 < 2^-64 — strictly tighter
+            # than the reference's f64 accumulation (~2^-52, rns_base.cu
+            # exact_convey_array)
+            r128 = [(1 << 128) // q for q in q_values]
+            self.r128_words = tuple(
+                jnp.asarray(np.array([(r >> (32 * w)) & _M32 for r in r128],
                                      dtype=np.uint32))[:, None]
-                for w in range(3)
+                for w in range(4)
             )
             self.base_q_pack = None  # inv_punctured pairs, built in materialize
             self.inv_punctured, self.inv_punctured_shoup = _shoup_pair_cols(
@@ -406,12 +409,14 @@ class RNSTool64:
     # BGV decrypt (ref: decryptor.h decrypt_mod_t via exact base conversion)
     # ------------------------------------------------------------------
     def _exact_alpha(self, vh: jnp.ndarray, vl: jnp.ndarray) -> jnp.ndarray:
-        """alpha = round(sum_i v_i / q_i) in 96-bit fixed point: per-term
-        error < 2^-34 for q > 2^30, deterministic and strictly tighter than
-        the reference's f64 accumulation (ref: rns_base.cu exact_convey_array)."""
-        w0, w1, w2 = self.r96_words
+        """alpha = round(sum_i v_i / q_i) in 128-bit fixed point: per-term
+        error v_i*(2^128/q_i - floor)/2^128 < 2^-64, deterministic and
+        strictly tighter than the reference's f64 accumulation
+        (ref: rns_base.cu exact_convey_array; fast-path analog
+        rns_tool.py uses 96-bit words for q < 2^30)."""
+        words = self.r128_words
         L = self.base_q.size
-        a = [None] * 6
+        a = [None] * 7
 
         def acc_add(idx, val):
             if a[idx] is None:
@@ -421,7 +426,7 @@ class RNSTool64:
             carry = (s < val).astype(U.U32)
             a[idx] = s
             i = idx + 1
-            while i < 6:
+            while i < 7:
                 if a[i] is None:
                     a[i] = carry
                     break
@@ -433,7 +438,7 @@ class RNSTool64:
         for i in range(L):
             hi_i = vh[..., i, :]
             lo_i = vl[..., i, :]
-            for wi, wcol in enumerate((w0, w1, w2)):
+            for wi, wcol in enumerate(words):
                 wv = wcol[i, 0]
                 h, lo_p = U.mul32_wide(lo_i, wv)
                 acc_add(wi, lo_p)
@@ -441,11 +446,11 @@ class RNSTool64:
                 h, lo_p = U.mul32_wide(hi_i, wv)
                 acc_add(wi + 1, lo_p)
                 acc_add(wi + 2, h)
-        for i in range(6):
+        for i in range(7):
             if a[i] is None:
                 a[i] = jnp.zeros_like(a[0])
-        # alpha = floor((acc + 2^95) / 2^96); alpha < L so word 3 suffices
-        return a[3] + (a[2] >> 31)
+        # alpha = floor((acc + 2^127) / 2^128); alpha < L so word 4 suffices
+        return a[4] + (a[3] >> 31)
 
     def decrypt_mod_t(self, phase: jnp.ndarray) -> jnp.ndarray:
         """Exact [centered(phase)]_t: (..., 2, L, n) -> (..., n) u32."""
