@@ -57,6 +57,11 @@ class _Ring2kLevelHelper:
         # centralize: increment [-t]_{q_i} for upper-half messages
         self.neg_t_mod_q = _col(
             np.array([(-t) % q for q in qv], dtype=np.uint32))
+        # decentralize: CRT terms mod 2^32 (wrapping u32 products then a
+        # k-bit mask give the exact value mod 2^k)
+        self.punc_mod_2_32 = [U.u32(p & 0xFFFFFFFF)
+                              for p in cd.base_q.punctured]
+        self.q_mod_2_32 = U.u32(Q & 0xFFFFFFFF)
         # {t, gamma} decrypt constants
         self.base_t_gamma = RNSBase([Modulus(t), Modulus(gamma)])
         self.conv_q_to_t_gamma = BaseConverter(cd.base_q, self.base_t_gamma)
@@ -103,6 +108,23 @@ class _Ring2kLevelHelper:
         q, qhi, qlo = self._qtabs(mm)
         lifted = jnp.where(mm >= self.half, mm + self.neg_t_mod_q, mm)
         return U.barrett_reduce_u32(lifted, q, qhi, qlo)
+
+    def decentralize(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of centralize: (..., L, n) centered-lift residues ->
+        (..., n) value mod 2^k (ref: bfv_ring2k.cu decentralize<T>).
+        Exact CRT recomposition mod 2^32 with the 96-bit fixed-point alpha
+        (exact because |centered| < 2^(k-1) << Q/2)."""
+        q, _, _ = self._qtabs(x)
+        ip = self.cd.base_q.pack()
+        lead = (1,) * (x.ndim - 2)
+        v = U.shoup_mul(x, ip["inv_punctured"].reshape(lead + (-1, 1)),
+                        ip["inv_punctured_shoup"].reshape(lead + (-1, 1)), q)
+        alpha = self.cd.rns_tool._exact_alpha(v)
+        s = None
+        for i in range(self.cd.base_q.size):
+            term = v[..., i, :] * self.punc_mod_2_32[i]  # wraps mod 2^32
+            s = term if s is None else s + term
+        return (s - alpha * self.q_mod_2_32) & self.t_mask
 
     def scale_down(self, phase: jnp.ndarray) -> jnp.ndarray:
         """(..., L, n) phase -> (..., n) = round(t*phase/Q) mod 2^k
@@ -199,6 +221,24 @@ class _Ring2kWideLevelHelper:
         is_upper = LB.get_bit(m, self.k - 1)[..., None, :] != 0
         return jnp.where(is_upper, U.add_mod(m_mod, self.neg_t_mod_q, q), m_mod)
 
+    def decentralize(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of centralize: (..., L, n) centered-lift residues ->
+        (..., W, n) k-bit limbs (ref: bfv_ring2k.cu decentralize<T> u64/u128
+        instantiations).  Exact CRT in limb-plane arithmetic with the
+        96-bit fixed-point alpha."""
+        k = self.k
+        q, _, _ = self._qtabs(x)
+        ip = self.cd.base_q.pack()
+        lead = (1,) * (x.ndim - 2)
+        v = U.shoup_mul(x, ip["inv_punctured"].reshape(lead + (-1, 1)),
+                        ip["inv_punctured_shoup"].reshape(lead + (-1, 1)), q)
+        alpha = self.cd.rns_tool._exact_alpha(v)
+        L = self.cd.base_q.size
+        s = LB.dot_const_low([v[..., i, :] for i in range(L)],
+                             self.mat_t, k)
+        corr = LB.mul_const_low(LB.u32_split(alpha), self.r_limbs, k)
+        return LB.sub_low(s, corr, k)
+
     def scale_down(self, phase: jnp.ndarray) -> jnp.ndarray:
         """(..., L, n) phase -> (..., W, n) limbs of round(2^k*phase/Q) mod
         2^k (ref: scale_down<T>; BEHZ {t, gamma} with t = 2^k so mod-t
@@ -291,6 +331,15 @@ class PolynomialEncoderRing2k:
         if self.k <= 31:
             return np.asarray(h.scale_down(phase.data)).astype(np.uint64)
         return LB.to_ints(np.asarray(h.scale_down(phase.data)), self.k)
+
+    def decentralize(self, pt: Plaintext) -> np.ndarray:
+        """Inverse of centralize: recover values mod 2^k from a
+        centered-lift RNS plaintext (ref: bfv_ring2k.h:223
+        decentralize_slice)."""
+        h = self.helper(pt.parms_id)
+        if self.k <= 31:
+            return np.asarray(h.decentralize(pt.data)).astype(np.uint64)
+        return LB.to_ints(np.asarray(h.decentralize(pt.data)), self.k)
 
     # -- host big-int oracle (parity tests; matches the device path bit
     #    for bit — ref semantics: bfv_ring2k.cu scale_up/scale_down) --------

@@ -700,9 +700,16 @@ class Evaluator(LweOpsMixin):
         return out
 
     def transform_plain_to_ntt(self, plain: Plaintext, parms_id: ParmsID) -> Plaintext:
-        """BFV/BGV mod-t plaintext -> RNS NTT form at a level
-        (ref: evaluator_transform_ntt.cu:35)."""
+        """BFV/BGV mod-t plaintext -> RNS NTT form at a level; RNS-form
+        plaintexts (CKKS, bfv_scale_up/centralize outputs) are NTT'd
+        directly (ref: evaluator_transform_ntt.cu:35)."""
         cd = self.context.get_context_data(parms_id)
+        if plain.is_ntt_form:
+            raise ValueError("[Evaluator.transform_plain_to_ntt] already NTT")
+        if cd.parms.scheme == SchemeType.CKKS or self._is_rns_plain(plain, cd):
+            return Plaintext(R.ntt_forward(plain.data, cd.qtab()),
+                             parms_id=parms_id, is_ntt_form=True,
+                             scale=plain.scale)
         lifted = self._centralizer(cd).centralize(plain.data[0])
         return Plaintext(R.ntt_forward(lifted, cd.qtab()), parms_id=parms_id,
                          is_ntt_form=True, scale=plain.scale)
