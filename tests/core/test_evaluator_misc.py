@@ -152,3 +152,49 @@ def test_relinearize_arbitrary_size_ckks():
     out = h.evaluator.relinearize(prod3, rlk)
     got = h.decrypt(out)
     np.testing.assert_allclose(got, v ** 3, atol=2e-2)
+
+
+def test_rescale_to_target_level():
+    """rescale_to walks multiple levels and rejects upward targets
+    (ref: evaluator.h rescale_to)."""
+    import pytest
+    from tests.core.fixtures import GeneralHeContext
+    import numpy as np
+
+    h = GeneralHeContext("CKKS", 32, q_bits=(30, 30, 30, 30),
+                         scale=2.0 ** 30, log_t=20)
+    rng = np.random.default_rng(4)
+    v = rng.uniform(-1, 1, h.encoder.slot_count)
+    # scale 2^90 so two rescales (dividing by ~2^30 primes) land near 2^30
+    ct = h.encryptor.encrypt_asymmetric(h.encoder.encode(v, scale=2.0 ** 90))
+    two_down = h.evaluator.mod_switch_to_next(
+        h.evaluator.mod_switch_to_next(ct)).parms_id
+    out = h.evaluator.rescale_to(ct, two_down)
+    assert out.parms_id == two_down
+    np.testing.assert_allclose(
+        h.encoder.decode(h.decryptor.decrypt(out)), v, atol=1e-2)
+    with pytest.raises(ValueError):
+        h.evaluator.rescale_to(out, ct.parms_id)
+
+
+def test_multiply_plain_form_validators():
+    """multiply_plain_ntt / _normal reject the wrong plaintext form."""
+    import pytest
+    from tests.core.fixtures import GeneralHeContext
+    import numpy as np
+
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30, 30, 30))
+    rng = np.random.default_rng(5)
+    v, w = h.random_simd(rng), h.random_simd(rng)
+    ct = h.encrypt(v)
+    pt = h.encoder.encode(w)
+    pt_ntt = h.evaluator.transform_plain_to_ntt(pt, ct.parms_id)
+    with pytest.raises(ValueError):
+        h.evaluator.multiply_plain_ntt(ct, pt)
+    with pytest.raises(ValueError):
+        h.evaluator.multiply_plain_normal(ct, pt_ntt)
+    got = h.evaluator.multiply_plain_normal(ct, pt)
+    want = (v.astype(object) * w.astype(object))
+    want = np.mod(want, h.t).astype(np.uint64)
+    np.testing.assert_array_equal(
+        np.asarray(h.decrypt(got), np.uint64), want)

@@ -658,6 +658,21 @@ class Evaluator(LweOpsMixin):
         out.parms_id = cd.next.parms_id
         return out
 
+    def rescale_to(self, ct: Ciphertext, parms_id: ParmsID) -> Ciphertext:
+        """Rescale down the chain until parms_id (ref: evaluator.h
+        rescale_to)."""
+        target = self.context.get_context_data(parms_id)
+        cur = ct
+        while cur.parms_id != parms_id:
+            cd = self._cd(cur)
+            # chain_index grows down the chain; an at-or-above target is
+            # unreachable by rescaling
+            if cd.chain_index >= target.chain_index:
+                raise ValueError("[Evaluator.rescale_to] target at or above "
+                                 "current level")
+            cur = self.rescale_to_next(cur)
+        return cur
+
     def mod_switch_to(self, ct: Ciphertext, parms_id: ParmsID) -> Ciphertext:
         """Walk the chain (ref: evaluator_modswitch.cu:379)."""
         target = self.context.get_context_data(parms_id)
@@ -1207,6 +1222,33 @@ class Evaluator(LweOpsMixin):
 
     def bfv_centralize_batched(self, plains, parms_id: ParmsID):
         return [self.bfv_centralize(p, parms_id) for p in plains]
+
+    # -- explicit-form plain products (ref: evaluator.h multiply_plain_ntt /
+    #    multiply_plain_normal; our multiply_plain dispatches on form, these
+    #    validate the expected form first) ---------------------------------
+    def multiply_plain_ntt(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        if not plain.is_ntt_form:
+            raise ValueError("[Evaluator.multiply_plain_ntt] plain must be "
+                             "NTT form")
+        return self.multiply_plain(ct, plain)
+
+    def multiply_plain_normal(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        if plain.is_ntt_form:
+            raise ValueError("[Evaluator.multiply_plain_normal] plain must "
+                             "be coefficient form")
+        return self.multiply_plain(ct, plain)
+
+    def multiply_plain_ntt_batched(self, cts, plains) -> list[Ciphertext]:
+        if any(not p.is_ntt_form for p in plains):
+            raise ValueError("[Evaluator.multiply_plain_ntt_batched] plains "
+                             "must be NTT form")
+        return self.multiply_plain_batched(cts, plains)
+
+    def multiply_plain_normal_batched(self, cts, plains) -> list[Ciphertext]:
+        if any(p.is_ntt_form for p in plains):
+            raise ValueError("[Evaluator.multiply_plain_normal_batched] "
+                             "plains must be coefficient form")
+        return self.multiply_plain_batched(cts, plains)
 
     # -- reference-style aliases -------------------------------------------
     add_new = add
