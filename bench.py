@@ -29,6 +29,11 @@ N = int(os.environ.get("TROY_BENCH_N", "8192"))
 LIMBS = int(os.environ.get("TROY_BENCH_LIMBS", "7"))
 OP = os.environ.get("TROY_BENCH_OP", "mul_relin")  # mul_relin | rotate
 SCHEME = os.environ.get("TROY_BENCH_SCHEME", "BFV")  # BFV | CKKS
+# comma-separated prime bit sizes; overrides LIMBSx30.  "60,40,40,60"
+# selects the wide (u64-pair) path — the reference's default bench params
+# (ref: test/bench/he_operations.cu:15-50)
+QBITS = ([int(b) for b in os.environ["TROY_BENCH_QBITS"].split(",")]
+         if os.environ.get("TROY_BENCH_QBITS") else [30] * LIMBS)
 CACHE = os.environ.get("TROY_BENCH_CACHE", "/tmp/troy_bench_cache")
 TARGET_OPS_PER_SEC = 750.0  # 5x CPU-SEAL (~150 ops/s) per BASELINE.md
 
@@ -41,6 +46,8 @@ def _log(msg):
 
 def _tag():
     s = "" if SCHEME == "BFV" else f"_{SCHEME.lower()}"
+    if QBITS != [30] * LIMBS:
+        s += "_q" + "-".join(str(b) for b in QBITS)
     return f"n{N}_L{LIMBS}{s}"
 
 
@@ -69,6 +76,7 @@ def setup_cache():
 import bench
 bench.N, bench.LIMBS, bench.CACHE = {N}, {LIMBS}, {CACHE!r}
 bench.SCHEME = {SCHEME!r}
+bench.QBITS = {QBITS!r}
 bench._setup_cache_impl()
 """
     subprocess.run([sys.executable, "-c", code], check=True, env=env,
@@ -87,7 +95,7 @@ def _setup_cache_impl():
     rng = np.random.default_rng(7)
     if SCHEME == "CKKS":
         context, keygen, encryptor, evaluator, encoder = _build_ckks(
-            N, [30] * LIMBS)
+            N, QBITS)
         n2 = encoder.slot_count
         scale = 2.0 ** 25
         m1 = rng.uniform(-1, 1, n2)
@@ -96,7 +104,7 @@ def _setup_cache_impl():
         ct2 = encryptor.encrypt_symmetric(encoder.encode(m2, scale=scale))
         cd = context.first_context_data()
     else:
-        context, keygen, encryptor, evaluator, encoder = _build(N, [30] * LIMBS, 20)
+        context, keygen, encryptor, evaluator, encoder = _build(N, QBITS, 20)
         cd = context.first_context_data()
         t_val = cd.parms.plain_modulus.value
         m1 = rng.integers(0, t_val, size=N, dtype=np.uint64)
@@ -163,7 +171,7 @@ def main():
     with jax.default_device(jax.devices("cpu")[0]):
         parms = EncryptionParameters(SchemeType[SCHEME])
         parms.set_poly_modulus_degree(N)
-        parms.set_coeff_modulus(CoeffModulus.create(N, [30] * LIMBS))
+        parms.set_coeff_modulus(CoeffModulus.create(N, QBITS))
         if SCHEME != "CKKS":
             parms.set_plain_modulus(PlainModulus.batching(N, 20))
         context = HeContext.create(parms, True, SecurityLevel.Nil, 0xBEEF)
@@ -239,7 +247,9 @@ def main():
     ops_per_sec = BATCH * REPS / dt
     _log(f"{dt*1e3/REPS:.3f} ms per batched step")
     print(json.dumps({
-        "metric": f"{SCHEME.lower()}_n{N}_{OP}_ops_per_sec",
+        "metric": (f"{SCHEME.lower()}_n{N}_{OP}"
+                   + ("_wide" if max(QBITS) > 30 else "")
+                   + "_ops_per_sec"),
         "value": round(ops_per_sec, 2),
         "unit": "ciphertexts/s",
         "vs_baseline": round(ops_per_sec / TARGET_OPS_PER_SEC, 3),
