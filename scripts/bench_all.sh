@@ -1,0 +1,29 @@
+#!/bin/bash
+# Full TPU benchmark matrix — one command for every BENCH.md row.
+# Run from /root/repo with the default env (axon TPU). Each bench.py run
+# prints one JSON line; failures print FAILED and continue.
+set -u
+cd "$(dirname "$0")/.."
+run() {
+  echo "== $*" >&2
+  env "$@" timeout 900 python bench.py || echo "FAILED: $*" >&2
+}
+
+# flagship + backends
+run TROY_NTT_BACKEND=sixstep
+run TROY_NTT_BACKEND=pallas_mxu
+# schemes / sizes
+run TROY_BENCH_SCHEME=CKKS
+run TROY_BENCH_N=16384 TROY_BENCH_LIMBS=8 TROY_BENCH_BATCH=8
+run TROY_BENCH_SCHEME=CKKS TROY_BENCH_N=16384 TROY_BENCH_LIMBS=8 TROY_BENCH_BATCH=8
+# rotation
+run TROY_BENCH_OP=rotate
+# wide (reference-default params {60,40,40,60})
+run TROY_BENCH_QBITS=60,40,40,60 TROY_BENCH_LIMBS=4
+run TROY_BENCH_SCHEME=CKKS TROY_BENCH_QBITS=60,40,40,60 TROY_BENCH_LIMBS=4
+# fused experimental kernel
+run TROY_FUSED_MUL=1
+
+# NTT latency + app-layer wall time
+timeout 900 python scripts/ntt_bench.py || echo "FAILED: ntt_bench" >&2
+timeout 900 python scripts/matmul_bench.py || echo "FAILED: matmul_bench" >&2
