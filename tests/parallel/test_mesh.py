@@ -118,3 +118,29 @@ def test_sharded_inputs_actually_partition_memory():
     m1 = M.make_mesh(data=8, limb=1)
     per1 = M.per_device_bytes(M.shard_batch(d, m1, shard_limbs=False))
     assert per1 == full // 8
+
+
+@needs_8
+def test_wide_sharded_mul_relin_matches_single_device():
+    """Wide (40-60-bit) stacked batches shard over (data x limb) too: the
+    (B, size, 2, L, n) word-pair layout keeps the limb axis second from
+    last (mesh.ct_batch_spec ndim-aware)."""
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(60, 40, 40, 40, 60))
+    cd = h.context.first_context_data()
+    batched = BatchedEvaluator(h.evaluator, cd)
+    rlk = h.keygen.create_relin_keys()
+    B = 4
+    ms1 = [h.random_simd(RNG) for _ in range(B)]
+    ms2 = [h.random_simd(RNG) for _ in range(B)]
+    d1 = batched.stack([h.encrypt(m) for m in ms1])
+    d2 = batched.stack([h.encrypt(m) for m in ms2])
+    assert d1.ndim == 5  # (B, size, 2, L, n)
+    keys = rlk.key(2)
+    step = batched.build_mul_relin_step(keys)
+    ref = jax.jit(step)(d1, d2, keys)
+
+    m = M.make_mesh(data=4, limb=2)
+    out = jax.jit(step)(M.shard_batch(d1, m), M.shard_batch(d2, m),
+                        M.replicate(keys, m))
+    assert out.sharding.spec[0] == "data"
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

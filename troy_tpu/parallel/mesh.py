@@ -38,12 +38,15 @@ def make_mesh(data: int | None = None, limb: int = 1,
     return Mesh(arr, ("data", "limb"))
 
 
-def ct_batch_spec(mesh: Mesh, shard_limbs: bool = True) -> NamedSharding:
-    """Sharding for a stacked ciphertext batch (B, size, L, n):
-    batch over 'data', RNS limb axis over 'limb'."""
-    return NamedSharding(
-        mesh, PSpec("data", None, "limb" if shard_limbs else None, None)
-    )
+def ct_batch_spec(mesh: Mesh, shard_limbs: bool = True,
+                  ndim: int = 4) -> NamedSharding:
+    """Sharding for a stacked ciphertext batch — (B, size, L, n) fast path
+    or (B, size, 2, L, n) wide path (the extra axis is the (hi, lo) word
+    pair, ops/rp.py): batch over 'data', the RNS limb axis (always second
+    from last) over 'limb'."""
+    limb = "limb" if shard_limbs else None
+    spec = ["data"] + [None] * (ndim - 3) + [limb, None]
+    return NamedSharding(mesh, PSpec(*spec))
 
 
 def table_spec(mesh: Mesh) -> NamedSharding:
@@ -52,7 +55,7 @@ def table_spec(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(data, mesh: Mesh, shard_limbs: bool = True):
-    return jax.device_put(data, ct_batch_spec(mesh, shard_limbs))
+    return jax.device_put(data, ct_batch_spec(mesh, shard_limbs, data.ndim))
 
 
 def replicate(x, mesh: Mesh):
