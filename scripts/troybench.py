@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--scheme", default="bfv", choices=["bfv", "bgv", "ckks"])
     ap.add_argument("-n", "--poly-degree", type=int, default=8192)
     ap.add_argument("--limbs", type=int, default=7)
+    ap.add_argument("--q-bits", default=None,
+                    help="comma-separated prime bit sizes (e.g. 60,40,40,60 "
+                         "for the wide path); overrides --limbs x30")
     ap.add_argument("--log-t", type=int, default=20)
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--device", default="default", choices=["default", "cpu", "tpu"])
@@ -76,7 +79,9 @@ def main():
     with jax.default_device(cpu):
         parms = EncryptionParameters(scheme)
         parms.set_poly_modulus_degree(n)
-        parms.set_coeff_modulus(CoeffModulus.create(n, [30] * args.limbs))
+        q_bits = ([int(b) for b in args.q_bits.split(",")]
+                  if args.q_bits else [30] * args.limbs)
+        parms.set_coeff_modulus(CoeffModulus.create(n, q_bits))
         if scheme != SchemeType.CKKS:
             parms.set_plain_modulus(PlainModulus.batching(n, args.log_t))
         context = HeContext.create(parms, True, SecurityLevel.Nil, 1)
@@ -123,6 +128,11 @@ def main():
     bench_op("decrypt", lambda: decryptor.decrypt(ct1), lambda p: p.data, reps)
     bench_op("negate", lambda: evaluator.negate(ct1), lambda c: c.data, reps)
     bench_op("add", lambda: evaluator.add(ct1, ct2), lambda c: c.data, reps)
+    bench_op("sub", lambda: evaluator.sub(ct1, ct2), lambda c: c.data, reps)
+    bench_op("add_plain", lambda: evaluator.add_plain(ct1, pt),
+             lambda c: c.data, reps)
+    bench_op("sub_plain", lambda: evaluator.sub_plain(ct1, pt),
+             lambda c: c.data, reps)
     prod = evaluator.multiply(ct1, ct2)
     bench_op("multiply", lambda: evaluator.multiply(ct1, ct2), lambda c: c.data, reps)
     bench_op("relinearize", lambda: evaluator.relinearize(prod, rlk),

@@ -159,56 +159,96 @@ class Evaluator(LweOpsMixin):
             return plain.data.ndim >= 3
         return plain.coeff_modulus_size > 1
 
-    def add_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
-        cd = self._cd(ct)
+    def _translate_plain_impl(self, cd: ContextData, data, plain_data,
+                              cf_u32, subtract: bool, rns: bool,
+                              plain_ntt: bool):
+        """Pure traceable ct +- plain on raw arrays (jitted per level/form)."""
         scheme = cd.parms.scheme
         qtab = cd.qtab()
-        out = ct.clone()
         if scheme == SchemeType.BFV:
-            if self._is_rns_plain(plain, cd):  # ring2k scale-up form
-                delta_m = plain.data
+            if rns:  # ring2k / bfv_scale_up form
+                m = plain_data
             else:
-                delta_m = cd.scaler.scale_up(plain.data[0])
-            out.data = out.data.at[0].set(R.add(ct.data[0], delta_m, qtab))
+                m = cd.scaler.scale_up(plain_data[0])
         elif scheme == SchemeType.CKKS:
-            m = self._plain_to_level(plain, cd, ntt=True)
-            out.data = out.data.at[0].set(R.add(ct.data[0], m, qtab))
-        elif scheme == SchemeType.BGV:
+            m = plain_data
+            if not plain_ntt:
+                m = R.ntt_forward(m, qtab)
+        else:  # BGV (ref: evaluator_translate.cu plain correction)
             t = cd.parms.plain_modulus
-            pm = plain.data[0]
-            if ct.correction_factor != 1:
-                pm = U.mul_mod(pm, U.u32(ct.correction_factor % t.value),
-                               U.u32(t.value), U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
+            pm = U.mul_mod(plain_data[0], cf_u32, U.u32(t.value),
+                           U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
             m = R.ntt_forward(self._centralizer(cd).centralize(pm), qtab)
-            out.data = out.data.at[0].set(R.add(ct.data[0], m, qtab))
+        op = R.sub if subtract else R.add
+        return data.at[0].set(op(data[0], m, qtab))
+
+    def _translate_plain(self, ct: Ciphertext, plain: Plaintext,
+                         subtract: bool) -> Ciphertext:
+        cd = self._cd(ct)
+        scheme = cd.parms.scheme
+        cd.rns_tool.materialize()
+        cd.qtab()
+        # materialize lazy table holders BEFORE tracing (tracer-leak safety)
+        if not cd.wide:
+            cd.base_q.pack()  # u32 pack; wide scalers carry pair columns
+        if scheme == SchemeType.BFV:
+            cd.scaler
+        elif scheme == SchemeType.BGV:
+            self._centralizer(cd)
+        rns = self._is_rns_plain(plain, cd)
+        plain_ntt = bool(plain.is_ntt_form)
+        cf = (ct.correction_factor % cd.parms.plain_modulus.value
+              if scheme == SchemeType.BGV else 1)
+        key = f"tplain{int(subtract)}{int(rns)}{int(plain_ntt)}"
+        fn = self._jit(cd, key, lambda: (
+            lambda d, p, c: self._translate_plain_impl(
+                cd, d, p, c, subtract, rns, plain_ntt)))
+        out = ct.clone()
+        out.data = fn(ct.data, plain.data, U.u32(cf))
         return out
 
+    def add_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return self._translate_plain(ct, plain, subtract=False)
+
     def sub_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
-        neg = self.negate(ct)
-        return self.negate(self.add_plain(neg, plain))
+        return self._translate_plain(ct, plain, subtract=True)
+
+    def _multiply_plain_impl(self, cd: ContextData, data, plain_data,
+                             rns: bool, plain_ntt: bool, ct_ntt: bool):
+        """Pure traceable ct * plain on raw arrays (jitted per level/form;
+        ref: evaluator_multiply_plain.cu)."""
+        qtab = cd.qtab()
+        if rns or cd.parms.scheme == SchemeType.CKKS:
+            m_ntt = plain_data if plain_ntt else R.ntt_forward(plain_data, qtab)
+        else:
+            lifted = self._centralizer(cd).centralize(plain_data[0])
+            m_ntt = R.ntt_forward(lifted, qtab)
+        if cd.parms.scheme == SchemeType.BFV and not ct_ntt:
+            d_ntt = R.ntt_forward(data, qtab)
+            prod = R.dyadic_broadcast_product(d_ntt, m_ntt, qtab)
+            return R.ntt_inverse(prod, qtab)
+        return R.dyadic_broadcast_product(data, m_ntt, qtab)
 
     def multiply_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
         """NTT-domain broadcast product (ref: evaluator_multiply_plain.cu)."""
         cd = self._cd(ct)
-        scheme = cd.parms.scheme
-        qtab = cd.qtab()
+        cd.rns_tool.materialize()
+        cd.qtab()
+        if not cd.wide:
+            cd.base_q.pack()
+        rns = self._is_rns_plain(plain, cd)
+        if not rns and cd.parms.scheme != SchemeType.CKKS:
+            self._centralizer(cd)  # materialize before tracing
+        plain_ntt = bool(plain.is_ntt_form)
+        ct_ntt = bool(ct.is_ntt_form)
+        key = f"mplain{int(rns)}{int(plain_ntt)}{int(ct_ntt)}"
+        fn = self._jit(cd, key, lambda: (
+            lambda d, p: self._multiply_plain_impl(
+                cd, d, p, rns, plain_ntt, ct_ntt)))
         out = ct.clone()
-        if scheme == SchemeType.BFV:
-            m_ntt = self._plain_to_level(plain, cd, ntt=True)
-            if ct.is_ntt_form:
-                # NTT-form BFV ct (ref: evaluator_multiply_plain.cu ntt path)
-                out.data = R.dyadic_broadcast_product(ct.data, m_ntt, qtab)
-            else:
-                ct_ntt = R.ntt_forward(ct.data, qtab)
-                prod = R.dyadic_broadcast_product(ct_ntt, m_ntt, qtab)
-                out.data = R.ntt_inverse(prod, qtab)
-        elif scheme == SchemeType.CKKS:
-            m_ntt = self._plain_to_level(plain, cd, ntt=True)
-            out.data = R.dyadic_broadcast_product(ct.data, m_ntt, qtab)
+        out.data = fn(ct.data, plain.data)
+        if cd.parms.scheme == SchemeType.CKKS:
             out.scale = ct.scale * plain.scale
-        elif scheme == SchemeType.BGV:
-            m_ntt = self._plain_to_level(plain, cd, ntt=True)
-            out.data = R.dyadic_broadcast_product(ct.data, m_ntt, qtab)
         return out
 
     # ==================================================================
@@ -629,14 +669,21 @@ class Evaluator(LweOpsMixin):
             raise ValueError("[Evaluator.mod_switch_to_next] already at last level")
         nxt = cd.next
         scheme = cd.parms.scheme
+        cd.rns_tool.materialize()
+        cd.qtab()
         out = ct.clone()
         if scheme == SchemeType.BFV:
-            out.data = cd.rns_tool.divide_and_round_q_last(ct.data)
+            fn = self._jit(cd, "modswitch", lambda: (
+                lambda d: cd.rns_tool.divide_and_round_q_last(d)))
+            out.data = fn(ct.data)
         elif scheme == SchemeType.CKKS:
             # CKKS modswitch without rescale = drop the last limb
             out.data = ct.data[..., :-1, :]
         else:  # BGV
-            out.data = cd.rns_tool.mod_t_and_divide_q_last_ntt(ct.data, cd.qtab())
+            fn = self._jit(cd, "modswitch", lambda: (
+                lambda d: cd.rns_tool.mod_t_and_divide_q_last_ntt(
+                    d, cd.qtab())))
+            out.data = fn(ct.data)
             t = cd.parms.plain_modulus.value
             q_last = cd.parms.coeff_modulus[-1].value
             out.correction_factor = (
@@ -652,8 +699,12 @@ class Evaluator(LweOpsMixin):
             raise ValueError("[Evaluator.rescale_to_next] CKKS only")
         if cd.is_last():
             raise ValueError("[Evaluator.rescale_to_next] already at last level")
+        cd.rns_tool.materialize()
+        cd.qtab()
         out = ct.clone()
-        out.data = cd.rns_tool.divide_and_round_q_last_ntt(ct.data, cd.qtab())
+        fn = self._jit(cd, "rescale", lambda: (
+            lambda d: cd.rns_tool.divide_and_round_q_last_ntt(d, cd.qtab())))
+        out.data = fn(ct.data)
         out.scale = ct.scale / cd.parms.coeff_modulus[-1].value
         out.parms_id = cd.next.parms_id
         return out
