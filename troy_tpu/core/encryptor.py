@@ -48,12 +48,23 @@ class Encryptor:
                 and self.context.using_keyswitching)
 
     def _divide_special(self, data, key_cd: ContextData, ntt_form: bool):
+        from .rlwe import _jit
+
         scheme = key_cd.parms.scheme
+        key_cd.rns_tool.materialize()
+        key_cd.qtab()
         if not ntt_form:
-            return key_cd.rns_tool.divide_and_round_q_last(data)
-        if scheme == SchemeType.BGV:
-            return key_cd.rns_tool.mod_t_and_divide_q_last_ntt(data, key_cd.qtab())
-        return key_cd.rns_tool.divide_and_round_q_last_ntt(data, key_cd.qtab())
+            fn = _jit(key_cd, "divspecial0", lambda: (
+                lambda d: key_cd.rns_tool.divide_and_round_q_last(d)))
+        elif scheme == SchemeType.BGV:
+            fn = _jit(key_cd, "divspecial_bgv", lambda: (
+                lambda d: key_cd.rns_tool.mod_t_and_divide_q_last_ntt(
+                    d, key_cd.qtab())))
+        else:
+            fn = _jit(key_cd, "divspecial1", lambda: (
+                lambda d: key_cd.rns_tool.divide_and_round_q_last_ntt(
+                    d, key_cd.qtab())))
+        return fn(data)
 
     def encrypt_zero_asymmetric(self, parms_id: ParmsID | None = None) -> Ciphertext:
         if self.pk is None:
@@ -101,37 +112,52 @@ class Encryptor:
         return Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form, seed=seed)
 
     # ------------------------------------------------------------------
-    def _add_plain(self, ct: Ciphertext, plain: Plaintext, cd: ContextData) -> Ciphertext:
+    def _add_plain_impl(self, cd: ContextData, data, plain_data, cf_u32,
+                        is_rns: bool, plain_ntt: bool):
+        """Pure traceable message add onto a zero encryption."""
         scheme = cd.parms.scheme
         qtab = cd.qtab()
         if scheme == SchemeType.BFV:
-            is_rns = (plain.data.ndim >= 3 if cd.wide
-                      else plain.coeff_modulus_size > 1)
-            if is_rns:  # pre-lifted (ring2k scale-up)
-                delta_m = plain.data
-            else:
-                delta_m = cd.scaler.scale_up(plain.data[0])
-            c0 = R.add(ct.data[0], delta_m, qtab)
+            m = plain_data if is_rns else cd.scaler.scale_up(plain_data[0])
         elif scheme == SchemeType.CKKS:
-            if plain.parms_id != cd.parms_id:
-                raise ValueError("[Encryptor] CKKS plaintext level mismatch")
-            m = plain.data if plain.is_ntt_form else R.ntt_forward(plain.data, qtab)
-            c0 = R.add(ct.data[0], m, qtab)
-            ct.scale = plain.scale
-        elif scheme == SchemeType.BGV:
-            pm = plain.data[0]
-            if ct.correction_factor != 1:
-                # special-prime encryption divided the phase by q_special:
-                # scale the payload to match (ref: encryptor.cu BGV path)
-                t = cd.parms.plain_modulus
-                pm = U.mul_mod(pm, U.u32(ct.correction_factor % t.value),
-                               U.u32(t.value), U.u32(t.ratio64_hi),
-                               U.u32(t.ratio64_lo))
+            m = plain_data if plain_ntt else R.ntt_forward(plain_data, qtab)
+        else:  # BGV: special-prime encryption divided the phase by
+            # q_special — scale the payload to match (ref: encryptor.cu)
+            t = cd.parms.plain_modulus
+            pm = U.mul_mod(plain_data[0], cf_u32, U.u32(t.value),
+                           U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
             m = R.ntt_forward(_centralize_bgv(cd, pm), qtab)
-            c0 = R.add(ct.data[0], m, qtab)
-        else:
-            raise ValueError("[Encryptor] unsupported scheme")
-        ct.data = ct.data.at[0].set(c0)
+        return data.at[0].set(R.add(data[0], m, qtab))
+
+    def _add_plain(self, ct: Ciphertext, plain: Plaintext, cd: ContextData) -> Ciphertext:
+        from .rlwe import _jit
+
+        scheme = cd.parms.scheme
+        cd.rns_tool.materialize()
+        cd.qtab()
+        if scheme == SchemeType.CKKS and plain.parms_id != cd.parms_id:
+            raise ValueError("[Encryptor] CKKS plaintext level mismatch")
+        # materialize lazy scalers before tracing (tracer-leak safety)
+        if scheme == SchemeType.BFV:
+            cd.scaler
+        elif scheme == SchemeType.BGV and getattr(cd, "_bgv_centralizer",
+                                                  None) is None:
+            from .evaluator import _make_centralizer
+
+            cd._bgv_centralizer = _make_centralizer(cd)
+        if not cd.wide:
+            cd.base_q.pack()
+        is_rns = (plain.data.ndim >= 3 if cd.wide
+                  else plain.coeff_modulus_size > 1)
+        plain_ntt = bool(plain.is_ntt_form)
+        cf = (ct.correction_factor % cd.parms.plain_modulus.value
+              if scheme == SchemeType.BGV else 1)
+        fn = _jit(cd, f"encmsg{int(is_rns)}{int(plain_ntt)}", lambda: (
+            lambda d, p, c: self._add_plain_impl(cd, d, p, c, is_rns,
+                                                 plain_ntt)))
+        ct.data = fn(ct.data, plain.data, U.u32(cf))
+        if scheme == SchemeType.CKKS:
+            ct.scale = plain.scale
         return ct
 
     def encrypt_asymmetric(self, plain: Plaintext,

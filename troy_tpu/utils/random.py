@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import u32 as U
+from ..ops.jitu import pack_jit
 
 NOISE_MAX_DEVIATION = 21  # CBD bound, sigma ~ 3.2 (ref: rlwe noise sampler)
 _MASK21 = (1 << 21) - 1
@@ -39,6 +40,7 @@ def _bits2(keys, shape) -> jnp.ndarray:
         kb, shape, jnp.uint32)
 
 
+@pack_jit
 def _uniform_from_bits(bits, shape, qtab: dict) -> jnp.ndarray:
     """Uniform residues in [0, q) per limb from a (2,)+(...,L,n) bit tensor:
     64 random bits Barrett-reduced (same negligible modulo bias as the
@@ -51,6 +53,7 @@ def _uniform_from_bits(bits, shape, qtab: dict) -> jnp.ndarray:
     return U.barrett_reduce_u64(bits[0], bits[1], q, hi, lo)
 
 
+@pack_jit
 def _uniform_from_key(key, shape, qtab: dict) -> jnp.ndarray:
     """Single-key variant: used only for c1 regeneration from a *published*
     ciphertext seed (ref: ciphertext.h:255), where the seed itself is public."""
@@ -73,6 +76,7 @@ def _wide_ratio(qtab: dict):
             qtab["r1"][:, None], qtab["r0"][:, None])
 
 
+@pack_jit
 def _wide_uniform_from_bits(bits, qtab: dict) -> jnp.ndarray:
     """128 random bits Barrett-reduced mod each wide prime: bias < 2^-66
     (the wide analog of _uniform_from_bits; ref: AES-CTR mod q sampling)."""
@@ -84,6 +88,7 @@ def _wide_uniform_from_bits(bits, qtab: dict) -> jnp.ndarray:
         bits[3], bits[2], bits[1], bits[0], qh, ql, *_wide_ratio(qtab)))
 
 
+@pack_jit
 def _wide_lift_small(e, qtab: dict) -> jnp.ndarray:
     """Signed small values e (int32, |e| << 2^31, shape (..., n)) lifted to
     wide residues (..., 2, L, n): negative values become q + e."""
@@ -102,6 +107,7 @@ def _wide_lift_small(e, qtab: dict) -> jnp.ndarray:
     return R.pair(jnp.broadcast_to(hi, tgt), jnp.broadcast_to(lo, tgt))
 
 
+@pack_jit
 def _ternary_from_bits(r, qtab: dict) -> jnp.ndarray:
     """Ternary secret {-1, 0, 1} lifted to every limb: (..., L, n).
     r holds uniform u32 words; % 3 bias is 2^-32-negligible (the reference
@@ -114,6 +120,7 @@ def _ternary_from_bits(r, qtab: dict) -> jnp.ndarray:
     return jnp.where(e == 2, q - U.U32(1), jnp.broadcast_to(e, e.shape[:-2] + (L, e.shape[-1])))
 
 
+@pack_jit
 def _cbd_from_bits(bits, shape_n, qtab: dict) -> jnp.ndarray:
     """Centered binomial (sum of 21 bits minus sum of 21 bits), lifted to all
     limbs (ref: random_generator.cu sample_poly_centered_binomial)."""
