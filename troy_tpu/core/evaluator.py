@@ -605,28 +605,45 @@ class Evaluator(LweOpsMixin):
         return out
 
     # -- galois / rotations (ref: evaluator_keyswitching.cu:179-285) --------
+    def _apply_galois_impl(self, cd: ContextData, tool, data, keys,
+                           galois_elt: int, ntt_form: bool):
+        """Pure traceable galois + keyswitch on raw arrays (jitted per
+        (level, element, form); ref: evaluator_keyswitching.cu:179)."""
+        qtab = cd.qtab()
+        if ntt_form:
+            c0g = tool.apply_ntt(data[0], galois_elt)
+            c1g = tool.apply_ntt(data[1], galois_elt)
+            target = R.ntt_inverse(c1g, qtab)
+        else:
+            c0g = tool.apply_coeff(data[0], galois_elt, qtab)
+            target = tool.apply_coeff(data[1], galois_elt, qtab)
+        sw = self._switch_key_impl(cd, target, keys, out_ntt=ntt_form)
+        # sw has the poly axis after any leading batch axes: index it from
+        # the end so batched (pack_rlwe_ciphertexts_batched) data works too
+        pax = R.poly_axis(qtab)
+        sw0 = jnp.take(sw, 0, axis=pax)
+        sw1 = jnp.take(sw, 1, axis=pax)
+        return safe_stack([R.add(sw0, c0g, qtab), sw1])
+
     def apply_galois(self, ct: Ciphertext, galois_elt: int,
                      glk: GaloisKeys) -> Ciphertext:
         if ct.size != 2:
             raise ValueError("[Evaluator.apply_galois] needs size-2 ct")
         cd = self._cd(ct)
         tool = GaloisTool.for_context(cd)
-        qtab = cd.qtab()
-        if ct.is_ntt_form:
-            c0g = tool.apply_ntt(ct.data[0], galois_elt)
-            c1g = tool.apply_ntt(ct.data[1], galois_elt)
-            target = R.ntt_inverse(c1g, qtab)
-        else:
-            c0g = tool.apply_coeff(ct.data[0], galois_elt, qtab)
-            target = tool.apply_coeff(ct.data[1], galois_elt, qtab)
-        sw = self._switch_key(cd, target, glk.key(galois_elt), out_ntt=ct.is_ntt_form)
-        # sw has the poly axis after any leading batch axes: index it from
-        # the end so batched (pack_rlwe_ciphertexts_batched) data works too
-        pax = R.poly_axis(qtab)
-        sw0 = jnp.take(sw, 0, axis=pax)
-        sw1 = jnp.take(sw, 1, axis=pax)
+        ntt_form = bool(ct.is_ntt_form)
+        # materialize lazy tables before tracing (tracer-leak safety)
+        self._switch_tables(cd)
+        cd.qtab()
+        if ntt_form and galois_elt not in tool._ntt_tables:
+            tool._ntt_tables[galois_elt] = tool._build_ntt(galois_elt)
+        if not ntt_form and galois_elt not in tool._coeff_tables:
+            tool._coeff_tables[galois_elt] = tool._build_coeff(galois_elt)
+        fn = self._jit(cd, f"galois{galois_elt}{int(ntt_form)}", lambda: (
+            lambda d, k: self._apply_galois_impl(cd, tool, d, k, galois_elt,
+                                                 ntt_form)))
         out = ct.clone()
-        out.data = safe_stack([R.add(sw0, c0g, qtab), sw1])
+        out.data = fn(ct.data, glk.key(galois_elt))
         return out
 
     def _rotate_internal(self, ct: Ciphertext, steps: int, glk: GaloisKeys) -> Ciphertext:
