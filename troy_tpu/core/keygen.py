@@ -79,11 +79,21 @@ class KeyGenerator:
         L_key = cd.coeff_modulus_size
         n = cd.parms.poly_modulus_degree
         decomp = L_key - 1
-        q_sp = cd.parms.coeff_modulus[-1].value
         # batched zero encryptions at key level, NTT form
         a = self.prng.sample_uniform((decomp, L_key, n), qtab)
         e = _noise(cd, self.prng, qtab, (decomp, n))
-        s = self._sk.data
+        from .rlwe import _jit
+
+        fn = _jit(cd, "kskgen", lambda: (
+            lambda tgt, aa, ee, s: self._kswitch_combine(cd, tgt, aa, ee, s)))
+        return fn(target_ntt, a, e, self._sk.data)
+
+    def _kswitch_combine(self, cd: ContextData, target_ntt, a, e, s):
+        """Pure traceable ksk assembly (jitted once per key level)."""
+        qtab = cd.qtab()
+        L_key = cd.coeff_modulus_size
+        decomp = L_key - 1
+        q_sp = cd.parms.coeff_modulus[-1].value
         c0 = R.negate(
             R.add(R.dyadic_product(a, s[None], qtab),
                   R.ntt_forward(e, qtab), qtab),
