@@ -145,9 +145,44 @@ def _build_ckks(n: int, q_bits: list[int], seed: int = 0xBEEF):
     return context, keygen, encryptor, Evaluator(context), CKKSEncoder(context)
 
 
+def _probe_backend(timeout_s: int = 240):
+    """Fail fast (instead of hanging indefinitely) when the remote TPU
+    tunnel is unreachable: backend init is probed in a killable subprocess.
+    TROY_BENCH_ALLOW_CPU=1 falls back to the CPU backend instead."""
+    import subprocess
+    import sys
+
+    import jax
+
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if plats and "axon" not in plats:
+        return  # already pinned to a local backend; nothing to probe
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, timeout=timeout_s, env=dict(os.environ),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return
+    except Exception:
+        pass
+    if os.environ.get("TROY_BENCH_ALLOW_CPU") == "1":
+        _log("backend probe failed; falling back to CPU (TROY_BENCH_ALLOW_CPU=1)")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return
+    raise SystemExit(
+        f"[bench] backend init did not complete within {timeout_s}s — the "
+        "TPU tunnel looks unreachable. Set TROY_BENCH_ALLOW_CPU=1 to run "
+        "on the CPU backend instead.")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _probe_backend()
 
     # persistent compilation cache: repeat runs skip the multi-minute XLA
     # compile, so the timed loop can run in a fresh full-speed process
