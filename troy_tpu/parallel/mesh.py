@@ -38,6 +38,32 @@ def make_mesh(data: int | None = None, limb: int = 1,
     return Mesh(arr, ("data", "limb"))
 
 
+def make_multihost_mesh(hosts: int | None = None, limb: int = 1,
+                        devices: list | None = None) -> Mesh:
+    """Hierarchical (host, data, limb) mesh for multi-host deployments.
+
+    Ciphertext batches shard over BOTH 'host' (DCN) and 'data' (ICI): HE
+    batch parallelism is embarrassingly parallel, so a correct plan moves
+    ZERO bytes across hosts for the batched op stream (asserted by
+    tests/parallel/test_mesh.py::test_multihost_data_parallel_no_dcn_traffic)
+    while 'limb' collectives stay within a host's ICI domain.  On real
+    multi-host pods call jax.distributed.initialize() first and pass
+    jax.devices(); process-local hosts are inferred from device.process_index
+    (the virtual CPU mesh simulates hosts by slicing the device list).
+    """
+    devs = devices if devices is not None else jax.devices()
+    if hosts is None:
+        hosts = max(1, len({getattr(d, "process_index", 0) for d in devs}))
+    per_host = len(devs) // hosts
+    data = per_host // limb
+    if hosts * data * limb > len(devs) or data < 1:
+        raise ValueError(
+            f"[make_multihost_mesh] need {hosts}x{data}x{limb} devices, "
+            f"have {len(devs)}")
+    arr = np.array(devs[: hosts * data * limb]).reshape(hosts, data, limb)
+    return Mesh(arr, ("host", "data", "limb"))
+
+
 def ct_batch_spec(mesh: Mesh, shard_limbs: bool = True,
                   ndim: int = 4) -> NamedSharding:
     """Sharding for a stacked ciphertext batch — (B, size, L, n) fast path
@@ -45,7 +71,8 @@ def ct_batch_spec(mesh: Mesh, shard_limbs: bool = True,
     pair, ops/rp.py): batch over 'data', the RNS limb axis (always second
     from last) over 'limb'."""
     limb = "limb" if shard_limbs else None
-    spec = ["data"] + [None] * (ndim - 3) + [limb, None]
+    batch = ("host", "data") if "host" in mesh.axis_names else "data"
+    spec = [batch] + [None] * (ndim - 3) + [limb, None]
     return NamedSharding(mesh, PSpec(*spec))
 
 
