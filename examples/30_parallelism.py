@@ -64,3 +64,18 @@ for i, ct in enumerate(batched.unstack(out, cts[0])):
     dec = encoder.decode(decryptor.decrypt(ct))
     assert (dec == ms[i] * ms[i] % t).all()
 print(f"sharded squaring of {B} ciphertexts over {data_axis} devices OK")
+
+# -- multi-host deployments -------------------------------------------------
+# On a real pod: jax.distributed.initialize() first; here the hierarchical
+# (host, data, limb) mesh is simulated over the local devices.  Batch
+# parallelism spans hosts with ZERO cross-host traffic (see
+# tests/parallel/test_mesh.py for the compiled-HLO proof).
+if jax.device_count() >= 4:
+    hmesh = M.make_multihost_mesh(hosts=2, limb=1)
+    print("multihost mesh:", dict(zip(hmesh.axis_names, hmesh.devices.shape)))
+    dh = M.shard_batch(batched.stack(cts), hmesh, shard_limbs=False)
+    out = jax.jit(batched.build_mul_relin_step(keys))(dh, dh,
+                                                      M.replicate(keys, hmesh))
+    dec = encoder.decode(decryptor.decrypt(batched.unstack(out, cts[0])[0]))
+    assert (dec == ms[0] * ms[0] % t).all()
+    print("multihost batch-parallel squaring OK")
