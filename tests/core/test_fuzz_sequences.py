@@ -18,9 +18,16 @@ _ctx = {}
 def ctx(scheme, wide):
     key = (scheme, wide)
     if key not in _ctx:
-        q = (60, 40, 40, 60) if wide else (30, 30, 30, 30)
+        # BGV correction-factor balancing scales ciphertext noise by up to
+        # t (~2^20, matching the reference's balance_correction_factors), so
+        # its random sequences need a deeper chain to stay within budget
+        if wide:
+            q = (60, 40, 40, 60)
+        else:
+            q = (30,) * (6 if scheme == "BGV" else 4)
         h = GeneralHeContext(scheme, 32, log_t=20, q_bits=q, scale=SCALE)
         h._rlk = h.keygen.create_relin_keys()
+        h._glk = h.keygen.create_galois_keys_from_steps([1, 2, -1])
         _ctx[key] = h
     return _ctx[key]
 
@@ -37,26 +44,30 @@ def run_sequence(scheme, wide, seed):
             return rng.uniform(-1, 1, n2) + 1j * rng.uniform(-1, 1, n2)
         return h.random_simd(rng).astype(object)
 
-    def encrypt(v, scale=SCALE):
+    def encrypt(v, scale=SCALE, pid=None):
         pt = (h.encoder.encode(v, scale=scale) if is_ckks
               else h.encoder.encode(v.astype(np.uint64)))
-        return h.encryptor.encrypt_asymmetric(pt)
+        c = h.encryptor.encrypt_asymmetric(pt)
+        if pid is not None and c.parms_id != pid:
+            c = ev.mod_switch_to(c, pid)
+        return c
 
     v = rand_msg()
     ct = encrypt(v)
     mults = 0
+    switches = 0
     # ops valid at any point; multiply limited by the modulus budget
     for _ in range(STEPS):
         op = rng.choice(["add", "sub", "negate", "add_plain", "mul_plain",
-                         "multiply"])
+                         "multiply", "rotate", "mod_switch"])
         cur_scale = ct.scale if is_ckks else SCALE
         if op == "add":
             w = rand_msg()
-            ct = ev.add(ct, encrypt(w, cur_scale))
+            ct = ev.add(ct, encrypt(w, cur_scale, ct.parms_id))
             v = v + w
         elif op == "sub":
             w = rand_msg()
-            ct = ev.sub(ct, encrypt(w, cur_scale))
+            ct = ev.sub(ct, encrypt(w, cur_scale, ct.parms_id))
             v = v - w
         elif op == "negate":
             ct = ev.negate(ct)
@@ -78,9 +89,35 @@ def run_sequence(scheme, wide, seed):
             mults += 1
         elif op == "multiply" and mults < 1:
             w = rand_msg()
-            ct = ev.relinearize(ev.multiply(ct, encrypt(w, SCALE)), h._rlk)
+            ct = ev.relinearize(ev.multiply(ct, encrypt(w, SCALE, ct.parms_id)), h._rlk)
             v = v * w
             mults += 1
+        elif op == "rotate":
+            step = int(rng.choice([1, 2, -1]))
+            if is_ckks:
+                ct = ev.rotate_vector(ct, step, h._glk)
+                v = np.roll(v, -step)
+            else:
+                ct = ev.rotate_rows(ct, step, h._glk)
+                half = len(v) // 2
+                grid = np.stack([v[:half], v[half:]])
+                grid = np.roll(grid, -step, axis=1)
+                v = np.concatenate([grid[0], grid[1]])
+        elif op == "mod_switch" and switches < 1:
+            cd = h.context.get_context_data(ct.parms_id)
+            if cd.is_last():
+                continue
+            if is_ckks:
+                # the dropped-limb modulus must still hold the phase:
+                # |m|*scale + noise << Q_next/2 (else wraparound is expected
+                # user error, not a library bug)
+                q_next = 1
+                for m_ in cd.next.parms.coeff_modulus:
+                    q_next *= m_.value
+                if ct.scale * 64 > q_next / 2:
+                    continue
+            ct = ev.mod_switch_to_next(ct)
+            switches += 1
     got = h.encoder.decode(h.decryptor.decrypt(ct))
     if is_ckks:
         np.testing.assert_allclose(got, v, atol=2e-2)
