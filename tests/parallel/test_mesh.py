@@ -194,3 +194,31 @@ def test_multihost_limb_sharding_collectives_within_host():
             ids = [int(x) for x in pair.replace("{", "").replace("}", "").split(",")]
             hosts = {i // 4 for i in ids}
             assert len(hosts) == 1, f"collective crosses hosts: {ids}"
+
+
+@needs_8
+def test_poly_sharded_single_ct_latency_path():
+    """Single-ciphertext latency scaling: the coefficient axis shards over
+    all 8 devices and the FULL BEHZ multiply+relinearize stays bit-exact
+    with 1/8 per-device footprint; the NTT stage transposes appear as
+    collective-permutes in the compiled HLO (SURVEY §7 step 8)."""
+    h = GeneralHeContext("BFV", 1024, log_t=20, q_bits=(30,) * 4)
+    cd = h.context.first_context_data()
+    batched = BatchedEvaluator(h.evaluator, cd)
+    rlk = h.keygen.create_relin_keys()
+    v1, v2 = h.random_simd(RNG), h.random_simd(RNG)
+    d1 = batched.stack([h.encrypt(v1)])
+    d2 = batched.stack([h.encrypt(v2)])
+    keys = rlk.key(2)
+    step = batched.build_mul_relin_step(keys)
+    ref = np.asarray(jax.jit(step)(d1, d2, keys))
+
+    m = M.make_latency_mesh()
+    d1s, d2s, keys_s = (M.shard_poly(x, m) for x in (d1, d2, keys))
+    fn = jax.jit(step, out_shardings=M.poly_spec(m, d1.ndim))
+    compiled = fn.lower(d1s, d2s, keys_s).compile()
+    stats = M.collective_stats(compiled)
+    assert stats["counts"].get("collective-permute", 0) > 0, stats
+    out = fn(d1s, d2s, keys_s)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert M.per_device_bytes(out) == out.size * out.dtype.itemsize // 8

@@ -81,6 +81,30 @@ def table_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PSpec("limb", None))
 
 
+def make_latency_mesh(poly: int | None = None,
+                      devices: list | None = None) -> Mesh:
+    """1-D ('poly',) mesh for SINGLE-ciphertext latency scaling: the
+    polynomial coefficient axis (last) shards across devices and the
+    six-step NTT's stage transposes ride ICI as collective-permutes
+    (GSPMD derives them from the reshape-only NTT formulation; SURVEY §7
+    step 8 'poly sharding for single-ct latency').  Verified bit-exact for
+    the full BEHZ multiply+relinearize in tests/parallel/test_mesh.py."""
+    devs = devices if devices is not None else jax.devices()
+    poly = poly or len(devs)
+    return Mesh(np.array(devs[:poly]).reshape(poly), ("poly",))
+
+
+def poly_spec(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Sharding that splits the coefficient (last) axis over 'poly'."""
+    return NamedSharding(mesh, PSpec(*([None] * (ndim - 1) + ["poly"])))
+
+
+def shard_poly(data, mesh: Mesh):
+    """Shard any (..., n) array (ciphertexts, keys, stacked batches) along
+    the coefficient axis."""
+    return jax.device_put(data, poly_spec(mesh, data.ndim))
+
+
 def shard_batch(data, mesh: Mesh, shard_limbs: bool = True):
     return jax.device_put(data, ct_batch_spec(mesh, shard_limbs, data.ndim))
 
