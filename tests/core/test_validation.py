@@ -101,3 +101,19 @@ def test_encoder_capacity():
     h = GeneralHeContext("CKKS", 32, q_bits=(30, 30, 30), scale=2.0 ** 25)
     with pytest.raises(ValueError, match="exceed"):
         h.encoder.encode([1e30] * h.encoder.slot_count, scale=2.0 ** 60)
+
+
+def test_bfv_add_plain_form_mismatch_rejected():
+    """NTT-form plain onto coeff-form BFV ct must raise, not silently mix
+    domains."""
+    import pytest
+    import numpy as np
+    from tests.core.fixtures import GeneralHeContext
+
+    h = GeneralHeContext("BFV", 32, log_t=20, q_bits=(30, 30, 30))
+    rng = np.random.default_rng(2)
+    ct = h.encrypt(h.random_simd(rng))
+    pt_ntt = h.evaluator.transform_plain_to_ntt(
+        h.encoder.encode(h.random_simd(rng)), ct.parms_id)
+    with pytest.raises(ValueError):
+        h.evaluator.add_plain(ct, pt_ntt)

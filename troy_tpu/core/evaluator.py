@@ -197,6 +197,11 @@ class Evaluator(LweOpsMixin):
             self._centralizer(cd)
         rns = self._is_rns_plain(plain, cd)
         plain_ntt = bool(plain.is_ntt_form)
+        if (scheme == SchemeType.BFV and plain_ntt != bool(ct.is_ntt_form)):
+            # BFV supports both forms, but the domains must match — an
+            # NTT-form plain added to a coeff-form ct (or vice versa) would
+            # silently mix domains (ref: evaluator_translate_plain.cu checks)
+            raise ValueError("[Evaluator.add_plain] NTT form mismatch")
         cf = (ct.correction_factor % cd.parms.plain_modulus.value
               if scheme == SchemeType.BGV else 1)
         key = f"tplain{int(subtract)}{int(rns)}{int(plain_ntt)}"
