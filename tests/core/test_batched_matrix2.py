@@ -188,3 +188,15 @@ def test_square_batched_or_identity(scheme):
     want = v * v if scheme == "CKKS" else v.astype(object) * v.astype(object)
     check(h, dec(h, sq), want, atol=5e-3)
     check(h, dec(h, prod), want, atol=5e-3)
+
+
+@pytest.mark.parametrize("scheme", ["BFV", "BGV", "CKKS"])
+def test_square_batched(scheme):
+    h = ctx(scheme)
+    vs = msgs(h)
+    cts = [enc(h, v) for v in vs]
+    outs = h.evaluator.square_batched(cts)
+    for o, v in zip(outs, vs):
+        assert o.size == 3
+        want = v * v if scheme == "CKKS" else v.astype(object) * v.astype(object)
+        check(h, dec(h, o), want, atol=5e-3)

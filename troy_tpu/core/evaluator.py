@@ -1069,6 +1069,28 @@ class Evaluator(LweOpsMixin):
                 o.correction_factor = a.correction_factor * b.correction_factor % t
         return out
 
+    def square_batched(self, cts) -> list[Ciphertext]:
+        """Batched squaring via the dyadic-square fast path
+        (ref: evaluator.h square_batched)."""
+        if not cts:
+            return []
+        cd = self._cd(cts[0])
+        if cd.parms.scheme == SchemeType.BFV:
+            cd.rns_tool.materialize()
+            fn = self._jit(cd, "bfv_square_batched",
+                           lambda: (lambda a: self.bfv_multiply_impl(cd, a, None)))
+            res = fn(self._stack(cts))
+        else:
+            res = R.dyadic_square(self._stack(cts), cd.qtab())
+        out = self._unstack(res, cts[0], cts)
+        for o, a in zip(out, cts):
+            if cd.parms.scheme == SchemeType.CKKS:
+                o.scale = a.scale * a.scale
+            elif cd.parms.scheme == SchemeType.BGV:
+                t = cd.parms.plain_modulus.value
+                o.correction_factor = a.correction_factor ** 2 % t
+        return out
+
     def relinearize_batched(self, cts, rlk: RelinKeys) -> list[Ciphertext]:
         if not cts:
             return []
