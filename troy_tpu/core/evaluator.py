@@ -1210,22 +1210,34 @@ class Evaluator(LweOpsMixin):
         for ct in cts[1:]:
             self._check_same(cts[0], ct, "apply_galois_batched")
         tool = GaloisTool.for_context(cd)
-        qtab = cd.qtab()
-        pax = R.poly_axis(qtab)
-        stacked = self._stack(cts)
-        c0 = jnp.take(stacked, 0, axis=pax)
-        c1 = jnp.take(stacked, 1, axis=pax)
-        if cts[0].is_ntt_form:
-            c0g = tool.apply_ntt(c0, galois_elt)
-            target = R.ntt_inverse(tool.apply_ntt(c1, galois_elt), qtab)
-        else:
-            c0g = tool.apply_coeff(c0, galois_elt, qtab)
-            target = tool.apply_coeff(c1, galois_elt, qtab)
-        sw = self._switch_key(cd, target, glk.key(galois_elt),
-                              out_ntt=cts[0].is_ntt_form)
-        sw0 = jnp.take(sw, 0, axis=pax)
-        sw1 = jnp.take(sw, 1, axis=pax)
-        res = safe_stack([R.add(sw0, c0g, qtab), sw1], axis=pax)
+        ntt_form = bool(cts[0].is_ntt_form)
+        # materialize lazy tables before tracing (tracer-leak safety)
+        self._switch_tables(cd)
+        cd.qtab()
+        if ntt_form and galois_elt not in tool._ntt_tables:
+            tool._ntt_tables[galois_elt] = tool._build_ntt(galois_elt)
+        if not ntt_form and galois_elt not in tool._coeff_tables:
+            tool._coeff_tables[galois_elt] = tool._build_coeff(galois_elt)
+
+        def impl(stacked, keys):
+            qtab = cd.qtab()
+            pax = R.poly_axis(qtab)
+            c0 = jnp.take(stacked, 0, axis=pax)
+            c1 = jnp.take(stacked, 1, axis=pax)
+            if ntt_form:
+                c0g = tool.apply_ntt(c0, galois_elt)
+                target = R.ntt_inverse(tool.apply_ntt(c1, galois_elt), qtab)
+            else:
+                c0g = tool.apply_coeff(c0, galois_elt, qtab)
+                target = tool.apply_coeff(c1, galois_elt, qtab)
+            sw = self._switch_key_impl(cd, target, keys, out_ntt=ntt_form)
+            sw0 = jnp.take(sw, 0, axis=pax)
+            sw1 = jnp.take(sw, 1, axis=pax)
+            return safe_stack([R.add(sw0, c0g, qtab), sw1], axis=pax)
+
+        fn = self._jit(cd, f"galoisb{galois_elt}{int(ntt_form)}",
+                       lambda: impl)
+        res = fn(self._stack(cts), glk.key(galois_elt))
         return self._unstack(res, cts[0], cts)
 
     def _rotate_internal_batched(self, cts, steps: int, glk: GaloisKeys):
