@@ -56,6 +56,17 @@ def run_sequence(scheme, wide, seed):
     ct = encrypt(v)
     mults = 0
     switches = 0
+
+    def q_at(ct_):
+        cd = h.context.get_context_data(ct_.parms_id)
+        q = 1
+        for m_ in cd.parms.coeff_modulus:
+            q *= m_.value
+        return q
+
+    def scale_fits(new_scale):
+        # phase |m|*scale must stay well under Q/2 at the ct's level
+        return (not is_ckks) or new_scale * 64 < q_at(ct) / 2
     # ops valid at any point; multiply limited by the modulus budget
     for _ in range(STEPS):
         op = rng.choice(["add", "sub", "negate", "add_plain", "mul_plain",
@@ -75,19 +86,21 @@ def run_sequence(scheme, wide, seed):
         elif op == "add_plain":
             w = rand_msg()
             if is_ckks:
-                ct = ev.add_plain(ct, h.encoder.encode(w, scale=cur_scale))
+                ct = ev.add_plain(ct, h.encoder.encode(
+                    w, scale=cur_scale, parms_id=ct.parms_id))
             else:
                 ct = ev.add_plain(ct, h.encoder.encode(w.astype(np.uint64)))
             v = v + w
-        elif op == "mul_plain" and mults < 1:
+        elif op == "mul_plain" and mults < 1 and scale_fits(cur_scale * SCALE):
             w = rand_msg()
             if is_ckks:
-                ct = ev.multiply_plain(ct, h.encoder.encode(w, scale=SCALE))
+                ct = ev.multiply_plain(ct, h.encoder.encode(
+                    w, scale=SCALE, parms_id=ct.parms_id))
             else:
                 ct = ev.multiply_plain(ct, h.encoder.encode(w.astype(np.uint64)))
             v = v * w
             mults += 1
-        elif op == "multiply" and mults < 1:
+        elif op == "multiply" and mults < 1 and scale_fits(cur_scale * SCALE):
             w = rand_msg()
             ct = ev.relinearize(ev.multiply(ct, encrypt(w, SCALE, ct.parms_id)), h._rlk)
             v = v * w

@@ -196,6 +196,10 @@ class Evaluator(LweOpsMixin):
         elif scheme == SchemeType.BGV:
             self._centralizer(cd)
         rns = self._is_rns_plain(plain, cd)
+        if rns and plain.parms_id is not None \
+                and plain.parms_id != ct.parms_id:
+            raise ValueError("[Evaluator.add_plain] plaintext level "
+                             "mismatch (mod_switch_plain_to first)")
         plain_ntt = bool(plain.is_ntt_form)
         if (scheme == SchemeType.BFV and plain_ntt != bool(ct.is_ntt_form)):
             # BFV supports both forms, but the domains must match — an
@@ -242,6 +246,10 @@ class Evaluator(LweOpsMixin):
         if not cd.wide:
             cd.base_q.pack()
         rns = self._is_rns_plain(plain, cd)
+        if rns and plain.parms_id is not None \
+                and plain.parms_id != ct.parms_id:
+            raise ValueError("[Evaluator.multiply_plain] plaintext level "
+                             "mismatch (mod_switch_plain_to first)")
         if not rns and cd.parms.scheme != SchemeType.CKKS:
             self._centralizer(cd)  # materialize before tracing
         plain_ntt = bool(plain.is_ntt_form)
