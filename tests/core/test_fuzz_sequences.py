@@ -67,6 +67,19 @@ def run_sequence(scheme, wide, seed):
     def scale_fits(new_scale):
         # phase |m|*scale must stay well under Q/2 at the ct's level
         return (not is_ckks) or new_scale * 64 < q_at(ct) / 2
+
+    balances = [0]
+
+    def balance_ok(other):
+        # each BGV correction-factor balancing scales noise by up to t
+        # (~2^20, ref balance_correction_factors): cap how many the random
+        # walk may trigger so sequences stay inside the noise budget
+        if scheme != "BGV" or ct.correction_factor == other.correction_factor:
+            return True
+        if balances[0] >= 2:
+            return False
+        balances[0] += 1
+        return True
     # ops valid at any point; multiply limited by the modulus budget
     for _ in range(STEPS):
         op = rng.choice(["add", "sub", "negate", "add_plain", "mul_plain",
@@ -74,11 +87,17 @@ def run_sequence(scheme, wide, seed):
         cur_scale = ct.scale if is_ckks else SCALE
         if op == "add":
             w = rand_msg()
-            ct = ev.add(ct, encrypt(w, cur_scale, ct.parms_id))
+            other = encrypt(w, cur_scale, ct.parms_id)
+            if not balance_ok(other):
+                continue
+            ct = ev.add(ct, other)
             v = v + w
         elif op == "sub":
             w = rand_msg()
-            ct = ev.sub(ct, encrypt(w, cur_scale, ct.parms_id))
+            other = encrypt(w, cur_scale, ct.parms_id)
+            if not balance_ok(other):
+                continue
+            ct = ev.sub(ct, other)
             v = v - w
         elif op == "negate":
             ct = ev.negate(ct)
