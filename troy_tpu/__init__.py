@@ -43,6 +43,12 @@ _API = {
     "Decryptor": "core.decryptor",
     "Evaluator": "core.evaluator",
     "LWECiphertext": "core.lwe",
+    "PolynomialEncoderRing2k": "app.ring2k",
+    "MatmulHelper": "app.matmul",
+    "Conv2dHelper": "app.conv2d",
+    "Plain2d": "app.cipher2d",
+    "Cipher2d": "app.cipher2d",
+    "BatchedEvaluator": "parallel.batched",
 }
 
 
@@ -62,4 +68,6 @@ __all__ = [
     "Plaintext", "Ciphertext", "SecretKey", "PublicKey", "KSwitchKeys",
     "RelinKeys", "GaloisKeys", "BatchEncoder", "CKKSEncoder", "KeyGenerator",
     "Encryptor", "Decryptor", "Evaluator", "LWECiphertext",
+    "PolynomialEncoderRing2k", "MatmulHelper", "Conv2dHelper",
+    "Plain2d", "Cipher2d", "BatchedEvaluator",
 ]
