@@ -1,0 +1,187 @@
+"""Device CKKS encode (double-float FFT + exact RNS rounding, ops/ddfft.py).
+
+Reference parity target: src/ckks_encoder.cu device encode (231-355,
+454-692).  The device path's only approximation is the dd FFT (~2^-48
+relative); rounding + RNS reduction are exact, verified here against
+Python-int oracles.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from troy_tpu.ops import ddfft as DD
+from tests.core.fixtures import GeneralHeContext
+
+
+def _fft_via_dd(x: np.ndarray) -> np.ndarray:
+    """Run the dd FFT eagerly and recombine to complex128."""
+    n = x.shape[-1]
+    tw = DD.fft_twiddles(n)
+    rh, rl = DD.split_f64(x.real)
+    ih, il = DD.split_f64(x.imag)
+    out = DD.fft_dd((jnp.asarray(rh), jnp.asarray(rl),
+                     jnp.asarray(ih), jnp.asarray(il)), tw)
+    perm = DD.brv_perm(n)
+    comps = [np.asarray(c, dtype=np.float64)[..., perm] for c in out]
+    return (comps[0] + comps[1]) + 1j * (comps[2] + comps[3])
+
+
+class TestDdPrimitives:
+    def test_two_sum_exact(self):
+        a = jnp.float32(1.0e8)
+        b = jnp.float32(3.14159)
+        s, e = DD.two_sum(a, b)
+        assert float(s) + float(e) == float(a) + float(b)  # exact in f64
+
+    def test_two_prod_exact(self):
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.uniform(-1e6, 1e6, 64).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1e6, 1e6, 64).astype(np.float32))
+        p, e = DD.two_prod(a, b)
+        # f32*f32 is exact in f64, so p + e must equal the f64 product
+        exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        assert (got == exact).all()
+
+    def test_dd_mul_precision(self):
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-1, 1, 128)
+        y = rng.uniform(-1, 1, 128)
+        xh, xl = (jnp.asarray(v) for v in DD.split_f64(x))
+        yh, yl = (jnp.asarray(v) for v in DD.split_f64(y))
+        ph, pl = DD.dd_mul(xh, xl, yh, yl)
+        got = np.asarray(ph, np.float64) + np.asarray(pl, np.float64)
+        assert np.max(np.abs(got - x * y)) < 2.0 ** -44
+
+
+class TestDdFFT:
+    @pytest.mark.parametrize("n", [64, 256, 2048])
+    def test_matches_numpy_fft(self, n):
+        rng = np.random.default_rng(n)
+        x = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+        got = _fft_via_dd(x)
+        ref = np.fft.fft(x)
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-11  # ~2^-36 worst case; f32 alone would be ~1e-4
+
+    def test_batched_leading_axis(self):
+        rng = np.random.default_rng(9)
+        x = rng.uniform(-1, 1, (3, 128)) + 1j * rng.uniform(-1, 1, (3, 128))
+        got = _fft_via_dd(x)
+        ref = np.fft.fft(x, axis=-1)
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-11
+
+
+class TestRoundWords:
+    def test_exact_round_and_words(self):
+        rng = np.random.default_rng(2)
+        # dd split of a 2^44-magnitude f64 carries ~0.03 absolute error;
+        # keep the fraction 0.1 clear of the .5 rounding boundary
+        ints = rng.integers(-(2 ** 44), 2 ** 44, size=256)
+        frac = rng.uniform(-0.4, 0.4, size=256)
+        vals = ints.astype(np.float64) + frac
+        h, l = DD.split_f64(vals)
+        hi24, w0 = DD.dd_round_words(jnp.asarray(h), jnp.asarray(l))
+        hi24 = np.asarray(hi24, dtype=np.int64)
+        w0 = np.asarray(w0, dtype=np.int64)
+        assert (0 <= hi24).all() and (hi24 < 2 ** 24).all()
+        assert (0 <= w0).all() and (w0 < 2 ** 24).all()
+        recon = hi24 * 2 ** 24 + w0 - 2 ** 47
+        # the dd value is ints + frac up to split error ~2^-7 at 2^45 —
+        # stay off the .5 boundary and the round must match exactly
+        assert (recon == ints).all()
+
+    def test_round_words_jit_matches_eager(self):
+        """Regression: XLA's algebraic simplifier reassociates float chains
+        with constant operands under jit; the integer-domain centering shift
+        must make the jitted words bit-identical to eager."""
+        import jax
+
+        rng = np.random.default_rng(8)
+        ints = rng.integers(-(2 ** 44), 2 ** 44, size=512)
+        frac = rng.uniform(-0.4, 0.4, size=512)
+        h, l = DD.split_f64(ints.astype(np.float64) + frac)
+        h, l = jnp.asarray(h), jnp.asarray(l)
+        eh, ew = DD.dd_round_words(h, l)
+        jh, jw = jax.jit(DD.dd_round_words)(h, l)
+        assert (np.asarray(eh) == np.asarray(jh)).all()
+        assert (np.asarray(ew) == np.asarray(jw)).all()
+        recon = (np.asarray(jh, np.int64) * 2 ** 24
+                 + np.asarray(jw, np.int64) - 2 ** 47)
+        assert (recon == ints).all()
+
+    def test_rns_reduction_exact_fast(self):
+        g = GeneralHeContext("CKKS", 32, q_bits=(30, 30))
+        moduli = g.context.first_context_data().parms.coeff_modulus
+        rng = np.random.default_rng(3)
+        ints = rng.integers(-(2 ** 45), 2 ** 45, size=64)
+        h, l = DD.split_f64(ints.astype(np.float64))
+        hi24, w0 = DD.dd_round_words(jnp.asarray(h), jnp.asarray(l))
+        res = np.asarray(DD.words_to_rns_fast(hi24, w0, list(moduli)))
+        for i, m in enumerate(moduli):
+            expect = [int(v) % m.value for v in ints]
+            assert res[i].tolist() == expect
+
+    def test_rns_reduction_exact_wide(self):
+        g = GeneralHeContext("CKKS", 32, q_bits=(50, 40))
+        moduli = g.context.first_context_data().parms.coeff_modulus
+        rng = np.random.default_rng(4)
+        ints = rng.integers(-(2 ** 45), 2 ** 45, size=64)
+        h, l = DD.split_f64(ints.astype(np.float64))
+        hi24, w0 = DD.dd_round_words(jnp.asarray(h), jnp.asarray(l))
+        res = np.asarray(DD.words_to_rns_wide(hi24, w0, list(moduli)),
+                         dtype=np.uint64)
+        vals = (res[0] << np.uint64(32)) | res[1]
+        for i, m in enumerate(moduli):
+            expect = [int(v) % m.value for v in ints]
+            assert vals[i].tolist() == expect
+
+
+class TestEncodeDevice:
+    @pytest.mark.parametrize("q_bits", [(30, 30, 30), (60, 40, 40)])
+    def test_roundtrip_and_host_parity(self, q_bits):
+        g = GeneralHeContext("CKKS", 64, q_bits=q_bits, scale=2.0 ** 25)
+        rng = np.random.default_rng(5)
+        v = rng.uniform(-1, 1, g.encoder.slot_count) \
+            + 1j * rng.uniform(-1, 1, g.encoder.slot_count)
+        pt_dev = g.encoder.encode_device(v, scale=g.scale)
+        pt_host = g.encoder.encode(v, scale=g.scale)
+        # decoded values agree with each other and the input
+        d_dev = g.encoder.decode(pt_dev)
+        d_host = g.encoder.decode(pt_host)
+        assert np.max(np.abs(d_dev - v)) < 1e-5
+        assert np.max(np.abs(d_dev - d_host)) < 1e-5
+        # the two RNS encodings differ by at most 1 rounding unit per coeff
+        assert pt_dev.data.shape == pt_host.data.shape
+
+    def test_encrypt_compute_decrypt(self):
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30, 30), scale=2.0 ** 25)
+        rng = np.random.default_rng(6)
+        n2 = g.encoder.slot_count
+        v1 = rng.uniform(-1, 1, n2)
+        v2 = rng.uniform(-1, 1, n2)
+        ct1 = g.encryptor.encrypt_symmetric(
+            g.encoder.encode_device(v1, scale=g.scale))
+        ct2 = g.encryptor.encrypt_symmetric(
+            g.encoder.encode_device(v2, scale=g.scale))
+        got = g.decrypt(g.evaluator.add(ct1, ct2))
+        assert np.max(np.abs(got - (v1 + v2))) < 1e-4
+
+    def test_batched_leading_axis(self):
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30), scale=2.0 ** 25)
+        rng = np.random.default_rng(7)
+        vs = rng.uniform(-1, 1, (3, g.encoder.slot_count))
+        pt = g.encoder.encode_device(vs, scale=g.scale)
+        assert pt.data.shape[0] == 3
+        from troy_tpu.core.plaintext import Plaintext
+
+        for i in range(3):
+            row = Plaintext(pt.data[i], parms_id=pt.parms_id, scale=pt.scale,
+                            is_ntt_form=True)
+            assert np.max(np.abs(g.encoder.decode(row) - vs[i])) < 1e-5
+
+    def test_bound_gate(self):
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30, 30), scale=2.0 ** 40)
+        with pytest.raises(ValueError, match="double-float bound"):
+            g.encoder.encode_device(np.full(4, 1000.0), scale=2.0 ** 40)

@@ -25,6 +25,7 @@ from .context import HeContext, ContextData
 from .params import ParmsID, SchemeType
 from .plaintext import Plaintext
 from ..ops import ntt as NTT, rp as R
+from ..ops import ddfft as DD
 
 
 def _round_ints(scaled: np.ndarray):
@@ -120,6 +121,101 @@ class CKKSEncoder:
         rns = self._coeffs_to_rns(_round_ints(scaled), cd)
         data = _ntt_jit(cd, True)(jnp.asarray(rns))
         return Plaintext(data, parms_id=cd.parms_id, scale=scale, is_ntt_form=True)
+
+    # ------------------------------------------------------------------
+    # Device fast path: double-float FFT + exact RNS rounding (ops/ddfft.py)
+    # ------------------------------------------------------------------
+    _DEVICE_COEFF_BOUND = 2.0 ** 46
+
+    def _device_tables(self):
+        """Per-encoder FFT constants for the device encode pipeline (host
+        numpy, built once)."""
+        if not hasattr(self, "_dd_tables"):
+            n = self.n
+            i = np.arange(n)
+            untwist = np.exp(-1j * np.pi * i / n)  # conj(zeta^i)
+            self._dd_tables = {
+                "twiddles": DD.fft_twiddles(n),
+                "brv": jnp.asarray(DD.brv_perm(n)),
+                "untwist": tuple(jnp.asarray(c)
+                                 for c in DD.cdd_tables(untwist)),
+            }
+        return self._dd_tables
+
+    def _encode_device_jit(self, cd: ContextData):
+        """One jitted pipeline per level: dd FFT -> untwist -> scale ->
+        exact round/RNS -> NTT.  Cached on the shared ContextData._jit_ops
+        dict (one compile per level, shared across encoder instances)."""
+        cache = getattr(cd, "_jit_ops", None)
+        if cache is None:
+            cache = {}
+            cd._jit_ops = cache
+        key = "encoder_device_encode"
+        if key in cache:
+            return cache[key]
+        tabs = self._device_tables()
+        qtab = cd.qtab()  # materialize BEFORE tracing
+        moduli = list(cd.parms.coeff_modulus)
+        wide = cd.wide
+        twiddles, brv, untwist = (tabs["twiddles"], tabs["brv"],
+                                  tabs["untwist"])
+
+        def fn(rh, rl, ih, il, f_h, f_l):
+            X = DD.fft_dd((rh, rl, ih, il), twiddles)  # bit-reversed order
+            X = tuple(jnp.take(c, brv, axis=-1) for c in X)
+            # real(X_k * untwist_k) in dd, then * (scale / n)
+            t0 = DD.dd_mul(X[0], X[1], untwist[0], untwist[1])
+            t1 = DD.dd_mul(X[2], X[3], untwist[2], untwist[3])
+            ch, cl = DD.dd_sub(t0[0], t0[1], t1[0], t1[1])
+            ch, cl = DD.dd_mul(ch, cl, f_h, f_l)
+            hi24, w0 = DD.dd_round_words(ch, cl)
+            if wide:
+                rns = DD.words_to_rns_wide(hi24, w0, moduli)
+            else:
+                rns = DD.words_to_rns_fast(hi24, w0, moduli)
+            return R.ntt_forward(rns, qtab)
+
+        cache[key] = jax.jit(fn)
+        return cache[key]
+
+    def encode_device(self, values, parms_id: ParmsID | None = None,
+                      scale: float = 2.0 ** 40) -> Plaintext:
+        """SIMD encode fully on device (double-float FFT — the TPU-native
+        analog of the reference's device encoder, src/ckks_encoder.cu:231).
+
+        Bit-exactness: the rounding + RNS stages are exact; only the FFT
+        rounds at ~2^-48 relative (vs the host path's f64 2^-53), so a few
+        coefficients near a .5 rounding boundary may round differently from
+        `encode` — an extra noise term far below CKKS encoding noise.
+        Requires scale * max|value| < 2^46; use `encode` beyond that.
+
+        A leading batch axis is supported: values (B, slots) yields a
+        Plaintext whose data carries the same leading axis (for
+        BatchedEvaluator pipelines)."""
+        cd = self.context.get_context_data(parms_id or self.context.first_parms_id)
+        arr = np.atleast_1d(np.asarray(values, dtype=np.complex128))
+        vmax = float(np.max(np.abs(arr))) if arr.size else 0.0
+        if scale * vmax >= self._DEVICE_COEFF_BOUND:
+            raise ValueError(
+                "[CKKSEncoder.encode_device] scale * max|value| = "
+                f"{scale * vmax:.3g} exceeds the 2^46 double-float bound; "
+                "use encode() (host f64 path) for larger operands")
+        lead = arr.shape[:-1]
+        if arr.shape[-1] > self.slots:
+            raise ValueError("[CKKSEncoder.encode_device] too many values")
+        v = np.zeros(lead + (self.slots,), dtype=np.complex128)
+        v[..., : arr.shape[-1]] = arr
+        ev = np.zeros(lead + (self.n,), dtype=np.complex128)
+        ev[..., self._idx] = v
+        ev[..., self._idx_conj] = np.conj(v)
+        rh, rl = DD.split_f64(ev.real)
+        ih, il = DD.split_f64(ev.imag)
+        f_h, f_l = DD.split_f64(np.float64(scale / self.n))
+        data = self._encode_device_jit(cd)(
+            jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih),
+            jnp.asarray(il), jnp.asarray(f_h), jnp.asarray(f_l))
+        return Plaintext(data, parms_id=cd.parms_id, scale=scale,
+                         is_ntt_form=True)
 
     def encode_float64_polynomial(self, coeffs, parms_id: ParmsID | None = None,
                                   scale: float = 2.0 ** 40) -> Plaintext:
