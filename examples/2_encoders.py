@@ -36,3 +36,10 @@ z = np.exp(1j * np.linspace(0, np.pi, ce.slot_count))
 back = ce.decode(ce.encode(z, scale=2.0 ** 30))
 print("CKKS roundtrip max err:", float(np.abs(back - z).max()))
 assert np.abs(back - z).max() < 1e-5
+
+# --- device encode: double-float FFT fully on the accelerator -------------
+# (ops/ddfft.py; valid while scale * max|value| < 2^46 — host f64 otherwise)
+pt_dev = ce.encode_device(z, scale=2.0 ** 30)
+back_dev = ce.decode(pt_dev)
+print("CKKS device-encode roundtrip max err:", float(np.abs(back_dev - z).max()))
+assert np.abs(back_dev - z).max() < 1e-5
