@@ -185,3 +185,50 @@ class TestEncodeDevice:
         g = GeneralHeContext("CKKS", 64, q_bits=(30, 30, 30), scale=2.0 ** 40)
         with pytest.raises(ValueError, match="double-float bound"):
             g.encoder.encode_device(np.full(4, 1000.0), scale=2.0 ** 40)
+
+
+class TestDecodeDevice:
+    def test_fast_path_last_level(self):
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30), scale=2.0 ** 25)
+        rng = np.random.default_rng(11)
+        v = rng.uniform(-1, 1, g.encoder.slot_count) \
+            + 1j * rng.uniform(-1, 1, g.encoder.slot_count)
+        pt = g.encoder.encode(v, parms_id=g.context.last_parms_id,
+                              scale=g.scale)
+        d_host = g.encoder.decode(pt)
+        d_dev = g.encoder.decode_device(pt)
+        assert np.max(np.abs(d_dev - d_host)) < 1e-8
+        assert np.max(np.abs(d_dev - v)) < 1e-5
+
+    def test_wide_path(self):
+        g = GeneralHeContext("CKKS", 64, q_bits=(50, 40), scale=2.0 ** 35)
+        rng = np.random.default_rng(12)
+        v = rng.uniform(-1, 1, g.encoder.slot_count)
+        pt = g.encoder.encode(v, parms_id=g.context.last_parms_id,
+                              scale=2.0 ** 35)
+        d_dev = g.encoder.decode_device(pt)
+        assert np.max(np.abs(d_dev - g.encoder.decode(pt))) < 1e-6
+
+    def test_after_homomorphic_rescale(self):
+        """The serving scenario: multiply + rescale down, then device-decode
+        at the reduced margin."""
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30, 30), scale=2.0 ** 26)
+        rng = np.random.default_rng(13)
+        n2 = g.encoder.slot_count
+        a = rng.uniform(-1, 1, n2)
+        b = rng.uniform(-1, 1, n2)
+        rlk = g.keygen.create_relin_keys()
+        ct = g.evaluator.multiply(g.encrypt(a), g.encrypt(b))
+        # rescale drops to the last level: Q = 30 bits, scale ~2^22
+        ct = g.evaluator.rescale_to_next(g.evaluator.relinearize(ct, rlk))
+        pt = g.decryptor.decrypt(ct)
+        got = g.encoder.decode_device(pt)
+        assert np.max(np.abs(got - a * b)) < 1e-3
+        assert np.max(np.abs(got - g.encoder.decode(pt))) < 1e-6
+
+    def test_margin_gate(self):
+        g = GeneralHeContext("CKKS", 64, q_bits=(50, 40, 40), scale=2.0 ** 35)
+        v = np.zeros(g.encoder.slot_count)
+        pt = g.encoder.encode(v, scale=2.0 ** 35)  # Q = 90 bits, margin 55
+        with pytest.raises(ValueError, match="20-bit double-float margin"):
+            g.encoder.decode_device(pt)

@@ -217,6 +217,107 @@ class CKKSEncoder:
         return Plaintext(data, parms_id=cd.parms_id, scale=scale,
                          is_ntt_form=True)
 
+    _DEVICE_DECODE_MARGIN_BITS = 20
+
+    def _decode_device_jit(self, cd: ContextData, ntt_form: bool):
+        """Jitted device decode per (level, form): INTT -> punctured-inverse
+        multiply -> fractional CRT in dd -> * (Q/scale) -> twist -> inverse
+        embedding FFT -> slot gather.  Returns the 4 dd component arrays."""
+        cache = getattr(cd, "_jit_ops", None)
+        if cache is None:
+            cache = {}
+            cd._jit_ops = cache
+        key = ("encoder_device_decode", ntt_form)
+        if key in cache:
+            return cache[key]
+        import math
+
+        tabs = self._device_tables()
+        qtab = cd.qtab()
+        moduli = list(cd.parms.coeff_modulus)
+        base = cd.base_q
+        wide = cd.wide
+        twiddles, brv = tabs["twiddles"], tabs["brv"]
+        i = np.arange(self.n)
+        tw = tuple(jnp.asarray(c)
+                   for c in DD.cdd_tables(np.exp(1j * np.pi * i / self.n)))
+        inv_q_tabs = [DD.ratio_dd(1, m.value) for m in moduli]
+        idx_slots = jnp.asarray(self._idx)
+        if wide:
+            from ..ops import u64 as U64
+            from ..ops import u32 as U32
+
+            w_hi = jnp.asarray(np.array(
+                [w >> 32 for w in base.inv_punctured], dtype=np.uint32))[:, None]
+            w_lo = jnp.asarray(np.array(
+                [w & 0xFFFFFFFF for w in base.inv_punctured],
+                dtype=np.uint32))[:, None]
+            ws = [U64.shoup_word64(w, m.value)
+                  for w, m in zip(base.inv_punctured, moduli)]
+            ws_hi = jnp.asarray(np.array([int(w[1]) for w in ws],
+                                         dtype=np.uint32))[:, None]
+            ws_lo = jnp.asarray(np.array([int(w[0]) for w in ws],
+                                         dtype=np.uint32))[:, None]
+            q_hi = jnp.asarray(np.array([m.value >> 32 for m in moduli],
+                                        dtype=np.uint32))[:, None]
+            q_lo = jnp.asarray(np.array([m.value & 0xFFFFFFFF for m in moduli],
+                                        dtype=np.uint32))[:, None]
+        else:
+            bp = base.pack()
+
+        def fn(data, qs_h, qs_l):
+            x = R.ntt_inverse(data, qtab) if ntt_form else data
+            if wide:
+                from ..ops import u64 as U64
+
+                y = U64.shoup_mul64(x[..., 0, :, :], x[..., 1, :, :],
+                                    w_hi, w_lo, ws_hi, ws_lo, q_hi, q_lo)
+            else:
+                from ..ops import u32 as U32
+
+                y = U32.shoup_mul(x, bp["inv_punctured"][:, None],
+                                  bp["inv_punctured_shoup"][:, None],
+                                  bp["q"][:, None])
+            fh, fl = DD.frac_crt_dd(y, inv_q_tabs)
+            ch, cl = DD.dd_mul(fh, fl, qs_h, qs_l)
+            yr = DD.dd_mul(ch, cl, tw[0], tw[1])
+            yi = DD.dd_mul(ch, cl, tw[2], tw[3])
+            X = DD.fft_dd((yr[0], yr[1], -yi[0], -yi[1]), twiddles)
+            X = tuple(jnp.take(c, brv, axis=-1) for c in X)
+            return tuple(jnp.take(c, idx_slots, axis=-1)
+                         for c in (X[0], X[1], -X[2], -X[3]))
+
+        cache[key] = jax.jit(fn)
+        return cache[key]
+
+    def decode_device(self, plain: Plaintext) -> np.ndarray:
+        """Decode fully on device via dd fractional CRT — the serving fast
+        path.  Valid when log2(Q) - log2(scale) <= 20 bits (i.e. the
+        plaintext has been rescaled/mod-switched down so the remaining
+        modulus margin is small — the normal state at the end of a CKKS
+        computation).  Absolute output error ~ (Q/scale) * 2^-47; use
+        `decode` (host CRT compose, exact big-int) for larger margins.
+
+        TPU-native replacement for the reference's device decode
+        (src/ckks_encoder.cu:1092 + fft_inverse_...): same pipeline, with
+        the CRT compose replaced by the fractional-CRT trick so no big-int
+        arithmetic is needed on device."""
+        import math
+
+        cd = self.context.get_context_data(plain.parms_id)
+        Q = cd.total_coeff_modulus
+        margin = Q.bit_length() - math.log2(plain.scale)
+        if margin > self._DEVICE_DECODE_MARGIN_BITS:
+            raise ValueError(
+                f"[CKKSEncoder.decode_device] log2(Q/scale) = {margin:.1f} "
+                "exceeds the 20-bit double-float margin; use decode() "
+                "(host big-int path) or rescale further first")
+        qs_h, qs_l = DD.ratio_dd(Q, plain.scale)
+        out = self._decode_device_jit(cd, plain.is_ntt_form)(
+            plain.data, jnp.asarray(qs_h), jnp.asarray(qs_l))
+        comps = [np.asarray(c, dtype=np.float64) for c in out]
+        return (comps[0] + comps[1]) + 1j * (comps[2] + comps[3])
+
     def encode_float64_polynomial(self, coeffs, parms_id: ParmsID | None = None,
                                   scale: float = 2.0 ** 40) -> Plaintext:
         """Encode raw real coefficients (no embedding)

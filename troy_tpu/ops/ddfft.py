@@ -238,6 +238,58 @@ def dd_round_words(h, l):
     return hi24, w0
 
 
+def u32_to_dd(x):
+    """u32 array -> EXACT dd pair: top 17 bits and low 15 bits, each exactly
+    representable in f32 (non-overlapping unevaluated sum)."""
+    hi = (x & jnp.uint32(0xFFFF8000)).astype(jnp.float32)
+    lo = (x & jnp.uint32(0x7FFF)).astype(jnp.float32)
+    return hi, lo
+
+
+def u64pair_to_dd(hi, lo):
+    """(hi, lo) u32-pair value -> dd with ~2^-47 relative error (plenty for
+    ratio computations y/q where only the ratio's 48 bits matter)."""
+    h = hi.astype(jnp.float32) * np.float32(2.0 ** 32)
+    z = jnp.zeros_like(h)
+    return dd_add(h, z, lo.astype(jnp.float32), z)
+
+
+def ratio_dd(num: int, den: float):
+    """Host: num/den (python int / float) as an accurate dd constant —
+    hi = f64 round, lo = next 24 bits of the exact remainder."""
+    from fractions import Fraction
+
+    r = Fraction(num) / Fraction(den)
+    hi = np.float32(float(r))
+    lo = np.float32(float(r - Fraction(float(hi))))
+    return hi, lo
+
+
+def frac_crt_dd(y, inv_q_tabs):
+    """Fractional CRT: residue rows y_i (pre-multiplied by the punctured
+    inverses) -> dd fraction sum  s = sum_i y_i / q_i  over the limb axis.
+    y: (..., L, n) u32, or a ((..., L, n) hi, lo) pair for wide primes;
+    inv_q_tabs: list of per-prime 1/q_i dd constants.  Returns the CENTERED
+    fractional part (value/Q in (-1/2, 1/2)) as a dd pair — exact modulo
+    the dd 2^-48 rounding because the true sum sits within |c|/Q << 1/2 of
+    an integer (ref: rns_base.cu compose semantics via the {t, gamma} /
+    fractional decrypt trick)."""
+    wide = isinstance(y, tuple)
+    L = (y[0] if wide else y).shape[-2]
+    sh = sl = None
+    for i in range(L):
+        if wide:
+            dh, dl = u64pair_to_dd(y[0][..., i, :], y[1][..., i, :])
+        else:
+            dh, dl = u32_to_dd(y[..., i, :])
+        iq_h, iq_l = inv_q_tabs[i]
+        th, tl = dd_mul(dh, dl, jnp.asarray(iq_h), jnp.asarray(iq_l))
+        sh, sl = (th, tl) if sh is None else dd_add(sh, sl, th, tl)
+    # centered fraction: the sum is within |c|/Q of an integer
+    r = jnp.round(sh)
+    return quick_two_sum(sh - r, sl)
+
+
 def words_to_rns_fast(hi24, w0, moduli):
     """(hi24, w0) int32 words -> (..., L, n) uint32 residues for fast-path
     primes (q < 2^30).  residue = (hi24·(2^24 mod q) + w0 + (-2^47 mod q))
