@@ -45,10 +45,14 @@ _API = {
     "LWECiphertext": "core.lwe",
     "PolynomialEncoderRing2k": "app.ring2k",
     "MatmulHelper": "app.matmul",
+    "MatmulObjective": "app.matmul",
     "Conv2dHelper": "app.conv2d",
     "Plain2d": "app.cipher2d",
     "Cipher2d": "app.cipher2d",
     "BatchedEvaluator": "parallel.batched",
+    "BatchEncoderAdapter": "app.encoder_adapter",
+    "CKKSEncoderAdapter": "app.encoder_adapter",
+    "Ring2kEncoderAdapter": "app.encoder_adapter",
 }
 
 
@@ -68,6 +72,7 @@ __all__ = [
     "Plaintext", "Ciphertext", "SecretKey", "PublicKey", "KSwitchKeys",
     "RelinKeys", "GaloisKeys", "BatchEncoder", "CKKSEncoder", "KeyGenerator",
     "Encryptor", "Decryptor", "Evaluator", "LWECiphertext",
-    "PolynomialEncoderRing2k", "MatmulHelper", "Conv2dHelper",
-    "Plain2d", "Cipher2d", "BatchedEvaluator",
+    "PolynomialEncoderRing2k", "MatmulHelper", "MatmulObjective",
+    "Conv2dHelper", "Plain2d", "Cipher2d", "BatchedEvaluator",
+    "BatchEncoderAdapter", "CKKSEncoderAdapter", "Ring2kEncoderAdapter",
 ]
