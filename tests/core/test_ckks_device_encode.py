@@ -226,6 +226,16 @@ class TestDecodeDevice:
         assert np.max(np.abs(got - a * b)) < 1e-3
         assert np.max(np.abs(got - g.encoder.decode(pt))) < 1e-6
 
+    def test_batched_decode(self):
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30), scale=2.0 ** 25)
+        rng = np.random.default_rng(14)
+        vs = rng.uniform(-1, 1, (3, g.encoder.slot_count))
+        pt = g.encoder.encode_device(vs, parms_id=g.context.last_parms_id,
+                                     scale=g.scale)
+        got = g.encoder.decode_device(pt)
+        assert got.shape == vs.shape
+        assert np.max(np.abs(got - vs)) < 1e-5
+
     def test_margin_gate(self):
         g = GeneralHeContext("CKKS", 64, q_bits=(50, 40, 40), scale=2.0 ** 35)
         v = np.zeros(g.encoder.slot_count)
