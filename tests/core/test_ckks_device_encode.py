@@ -187,6 +187,29 @@ class TestEncodeDevice:
             g.encoder.encode_device(np.full(4, 1000.0), scale=2.0 ** 40)
 
 
+class TestEncodeDeviceProperties:
+    def test_random_scales_and_magnitudes(self):
+        """Property sweep: across random (scale, magnitude) configs —
+        including non-power-of-2 scales — the device encode must decode
+        back within the dd error model (~max(n/scale, 2^-40 * max|v|))."""
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30, 30),
+                             scale=2.0 ** 25)
+        rng = np.random.default_rng(21)
+        for _ in range(12):
+            log_scale = rng.uniform(18, 30)
+            scale = float(2.0 ** log_scale) * rng.uniform(0.8, 1.2)
+            mag = float(2.0 ** rng.uniform(-3, 8))
+            if scale * mag >= 2.0 ** 45:
+                continue
+            v = (rng.uniform(-mag, mag, g.encoder.slot_count)
+                 + 1j * rng.uniform(-mag, mag, g.encoder.slot_count))
+            pt = g.encoder.encode_device(v, scale=scale)
+            back = g.encoder.decode(pt)
+            tol = max(64.0 / scale, mag * 2.0 ** -38) * 8
+            err = np.max(np.abs(back - v))
+            assert err < tol, (scale, mag, err, tol)
+
+
 class TestDecodeDevice:
     def test_fast_path_last_level(self):
         g = GeneralHeContext("CKKS", 64, q_bits=(30, 30), scale=2.0 ** 25)
