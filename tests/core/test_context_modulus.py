@@ -146,3 +146,43 @@ def test_ckks_encode_at_lower_level():
     assert pt.parms_id == lower
     ct = h.encryptor.encrypt_asymmetric(pt)
     np.testing.assert_allclose(h.decrypt(ct), v, atol=1e-4)
+
+
+class TestQualifiers:
+    """EncryptionParameterQualifiers parity (ref: encryption_parameters.h:277,
+    context_data.h:61, he_context.h:97)."""
+
+    def test_bfv_batching_flags(self):
+        from tests.core.fixtures import GeneralHeContext
+        from troy_tpu.core.coeff_modulus import SecurityLevel
+
+        g = GeneralHeContext("BFV", 64, log_t=20, q_bits=(30, 30, 30))
+        q = g.context.first_context_data().qualifiers
+        assert g.context.parameters_set()
+        assert q.parameters_set()
+        assert q.using_ntt and q.using_fft
+        assert q.using_batching           # PlainModulus.batching => SIMD
+        assert q.using_fast_plain_lift    # 30-bit primes > 20-bit t
+        assert q.security_level == SecurityLevel.Nil
+
+    def test_ckks_batching_always_on(self):
+        from tests.core.fixtures import GeneralHeContext
+
+        g = GeneralHeContext("CKKS", 64, q_bits=(30, 30))
+        assert g.context.first_context_data().qualifiers.using_batching
+
+    def test_security_level_recorded(self):
+        import numpy as np
+        from troy_tpu.core.params import EncryptionParameters, SchemeType
+        from troy_tpu.core.context import HeContext
+        from troy_tpu.core.coeff_modulus import (CoeffModulus, PlainModulus,
+                                                 SecurityLevel)
+
+        parms = EncryptionParameters(SchemeType.BFV)
+        parms.set_poly_modulus_degree(4096)
+        parms.set_coeff_modulus(CoeffModulus.create(4096, [30, 30, 30]))
+        parms.set_plain_modulus(PlainModulus.batching(4096, 20))
+        ctx = HeContext.create(parms, True, SecurityLevel.Classical128)
+        q = ctx.key_context_data().qualifiers if hasattr(ctx, "key_context_data") \
+            else ctx.get_context_data(ctx.key_parms_id).qualifiers
+        assert q.security_level == SecurityLevel.Classical128

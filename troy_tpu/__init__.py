@@ -29,6 +29,7 @@ _API = {
     "SchemeType": "core.params",
     "HeContext": "core.context",
     "ContextData": "core.context",
+    "EncryptionParameterQualifiers": "core.context",
     "Plaintext": "core.plaintext",
     "Ciphertext": "core.ciphertext",
     "SecretKey": "core.keys",
@@ -69,6 +70,7 @@ def __getattr__(name):
 __all__ = [
     "Modulus", "CoeffModulus", "PlainModulus", "SecurityLevel",
     "EncryptionParameters", "SchemeType", "HeContext", "ContextData",
+    "EncryptionParameterQualifiers",
     "Plaintext", "Ciphertext", "SecretKey", "PublicKey", "KSwitchKeys",
     "RelinKeys", "GaloisKeys", "BatchEncoder", "CKKSEncoder", "KeyGenerator",
     "Encryptor", "Decryptor", "Evaluator", "LWECiphertext",

@@ -27,6 +27,28 @@ from ..rns.scaling import BFVScaler
 from ..utils import numth
 
 
+from dataclasses import dataclass, replace as _dc_replace
+
+
+@dataclass(frozen=True)
+class EncryptionParameterQualifiers:
+    """Feature flags for a validated parameter set (ref:
+    encryption_parameters.h:277).  parameter_error is always "Success" on a
+    constructed context — invalid parameters raise instead (the error names
+    match the reference's EncryptionParameterErrorType values)."""
+
+    parameter_error: str = "Success"
+    using_fft: bool = True
+    using_ntt: bool = True
+    using_batching: bool = False
+    using_fast_plain_lift: bool = False
+    using_descending_modulus_chain: bool = False
+    security_level: SecurityLevel = SecurityLevel.Nil
+
+    def parameters_set(self) -> bool:
+        return self.parameter_error == "Success"
+
+
 class ContextData:
     """Per-level bundle (ref: context_data.h:14-165)."""
 
@@ -79,6 +101,22 @@ class ContextData:
         # SIMD batching support (ref: batch_encoder.h:55)
         self.simd_supported = bool(
             t.value and t.is_prime and t.value % (2 * n) == 1
+        )
+        # queryable qualifiers (ref: encryption_parameters.h:277
+        # EncryptionParameterQualifiers, context_data.h:61).  Unlike the
+        # reference — which records an error code and hands back a context
+        # you must test with parameters_set() — invalid parameters here
+        # raise at construction, so a constructed ContextData always carries
+        # parameter_error == "Success"; the flags remain useful for feature
+        # queries.
+        self.qualifiers = EncryptionParameterQualifiers(
+            using_batching=(self.simd_supported
+                            or parms.scheme == SchemeType.CKKS),
+            using_fast_plain_lift=bool(
+                t.value and all(m.value > t.value for m in moduli)),
+            using_descending_modulus_chain=all(
+                moduli[i].value > moduli[i + 1].value
+                for i in range(len(moduli) - 1)),
         )
 
     @property
@@ -203,9 +241,18 @@ class HeContext:
 
         for i, cd in enumerate(chain[1:], start=1):
             cd.chain_index = i
+        for cd in chain:
+            cd.qualifiers = _dc_replace(cd.qualifiers, security_level=sec_level)
         ctx.first_parms_id = chain[1].parms_id if len(chain) > 1 else ctx.key_parms_id
         ctx.last_parms_id = chain[-1].parms_id
         return ctx
+
+    def parameters_set(self) -> bool:
+        """True when the context's parameters validated (ref:
+        he_context.h:97).  Always True on a constructed context — invalid
+        parameters raise from create() instead of producing an error
+        context."""
+        return self.first_context_data().qualifiers.parameters_set()
 
     # -- lookups (ref: he_context.h get_context_data) -----------------------
     def get_context_data(self, parms_id: ParmsID) -> ContextData:
