@@ -116,3 +116,27 @@ def test_conv2d_ring2k_wide():
                                     * kern[0, 0].astype(object)).sum()) & mask
     got = np.vectorize(lambda v: int(v) & mask, otypes=[object])(dec)
     np.testing.assert_array_equal(got, want)
+
+
+def test_conv2d_output_serialization():
+    """Server->client wire: sparse save_terms round trip + size win
+    (ref: conv2d.h:113-114 serialize_outputs/deserialize_outputs)."""
+    from troy_tpu.utils import serialize as S
+
+    n = 64
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    batch, ci, co, H, W, kh, kw = 2, 2, 3, 4, 5, 2, 2
+    helper = Conv2dHelper(batch, ci, co, H, W, kh, kw, n,
+                          MatmulObjective.EncryptLeft)
+    x = RNG.integers(0, h.t, size=(batch, ci, H, W), dtype=np.uint64)
+    k = RNG.integers(0, h.t, size=(co, ci, kh, kw), dtype=np.uint64)
+    x_enc = helper.encrypt_inputs(h.encryptor, adapter, x)
+    y = helper.conv2d(h.evaluator, x_enc, helper.encode_weights(adapter, k))
+    blobs = helper.serialize_outputs(h.context, y, S.CompressionMode.Zstd)
+    full = [S.save_ciphertext(c, h.context) for row in y.data for c in row]
+    assert sum(map(len, blobs)) < sum(map(len, full))
+    y2 = helper.deserialize_outputs(h.context, blobs)
+    dec = helper.decrypt_outputs(adapter, h.decryptor, y2)
+    want = plain_conv2d_valid(x, k, h.t)
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)

@@ -240,6 +240,41 @@ class Conv2dHelper:
             bufs[eb][jg][mi] = y[b, c, oi, oj]
         return Plain2d([[adapter.encode_for_cipher(v) for v in row] for row in bufs])
 
+    # ------------------------------------------------------------------
+    # wire format (ref: conv2d.h:113-114 serialize_outputs /
+    # deserialize_outputs; conv2d.cu:719-803): only the coefficients that
+    # carry output pixels are shipped (sparse save_terms), same framing as
+    # MatmulHelper (matmul.py:317)
+    # ------------------------------------------------------------------
+    def _required_terms(self) -> list[list[list[int]]]:
+        """terms[eb][ocg] = sorted coefficient indices carrying outputs."""
+        total = self.get_total_batch_size()
+        ocg = ceil_div(self.output_channels, self.output_channel_block)
+        terms: list[list[list[int]]] = [
+            [[] for _ in range(ocg)] for _ in range(total)
+        ]
+        for eb, jg, mi, _ in self._positions():
+            terms[eb][jg].append(mi)
+        return [[sorted(cell) for cell in row] for row in terms]
+
+    def serialize_outputs(self, context, outputs: Cipher2d, mode=None) -> list[bytes]:
+        from ..utils import serialize as S
+
+        mode = mode if mode is not None else S.CompressionMode.Nil
+        terms = self._required_terms()
+        return [
+            S.save_ciphertext(c, context, mode, terms=terms[eb][jg])
+            for eb, row in enumerate(outputs.data)
+            for jg, c in enumerate(row)
+        ]
+
+    def deserialize_outputs(self, context, blobs: list[bytes]) -> Cipher2d:
+        from ..utils import serialize as S
+
+        cts = [S.load_ciphertext(b, context) for b in blobs]
+        ocg = ceil_div(self.output_channels, self.output_channel_block)
+        return Cipher2d([cts[i : i + ocg] for i in range(0, len(cts), ocg)])
+
     def decrypt_outputs(self, adapter, decryptor: Decryptor,
                         outputs: Cipher2d) -> np.ndarray:
         oyh = self.image_height - self.kernel_height + 1
