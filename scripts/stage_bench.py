@@ -90,6 +90,10 @@ def main() -> None:
     stages = [("full", full), ("mul_only", mul_only),
               ("ntt_pair", ntt_pair), ("dyadic", dyadic),
               ("kswitch", kswitch)]
+    only = os.environ.get("TROY_STAGE_ONLY")
+    if only:
+        pick = set(only.split(","))
+        stages = [s for s in stages if s[0] in pick]
     results = {}
     for name, step in stages:
         def chained(a, b, k, step=step):
