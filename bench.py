@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("TROY_BENCH_BATCH", "16"))
-REPS = int(os.environ.get("TROY_BENCH_REPS", "20"))
+REPS = int(os.environ.get("TROY_BENCH_REPS", "100"))
 N = int(os.environ.get("TROY_BENCH_N", "8192"))
 LIMBS = int(os.environ.get("TROY_BENCH_LIMBS", "7"))
 OP = os.environ.get("TROY_BENCH_OP", "mul_relin")  # mul_relin | rotate
@@ -264,23 +264,49 @@ def main():
     else:
         _log("compiled; timing (timing-only op, no verification gate)...")
     # chain iterations (output feeds back as input) so the runtime cannot
-    # dedupe or overlap identical computations
-    # warm the loop program, then time it: subtracting a 1-iteration run
-    # would remove the dispatch constant, but with REPS >= 10 it is < 10%
-    warm = loop_fn(d1, d2, keys)
-    _ = np.asarray(warm[(0,) * warm.ndim])
-    # timed input differs from the warm input (rules out any result
-    # memoization) and is materialized BEFORE the timed region
+    # dedupe or overlap identical computations.
+    #
+    # Two-point slope: the dispatch+readback round trip through the remote
+    # tunnel costs a CONSTANT ~20-25 ms per measurement (measured 2026-08-19:
+    # the same stage at REPS=20 vs REPS=100 differs by exactly C/R), which at
+    # REPS=20 inflates a ~4 ms step by ~25%.  Timing the SAME chained loop at
+    # two rep counts and taking the slope (T_hi - T_lo) / (R_hi - R_lo)
+    # cancels the constant exactly while keeping every honesty property:
+    # data-dependent chaining, warm programs, perturbed inputs, forced
+    # one-element readback.
+    reps_lo = max(2, REPS // 5)
+
+    def chained_lo(a, b, k):
+        return lax.fori_loop(0, reps_lo, lambda i, c: step(c, b, k), a)
+
+    loop_lo = jax.jit(chained_lo)
+
+    def timed(fn_, a):
+        t0 = time.perf_counter()
+        cur = fn_(a, d2, keys)
+        # one-element host readback: block_until_ready alone returns early
+        # on the remote platform
+        _ = np.asarray(cur[(0,) * cur.ndim])
+        return time.perf_counter() - t0
+
+    # warm both loop programs, then time each twice on perturbed inputs
+    # (min over repeats rejects tunnel jitter on the constant term)
     d1p = jax.block_until_ready(d1 ^ jnp.uint32(1))
     _ = np.asarray(d1p[(0,) * d1p.ndim])
-    t0 = time.perf_counter()
-    cur = loop_fn(d1p, d2, keys)
-    # one-element host readback: block_until_ready alone returns early on
-    # the remote platform
-    _ = np.asarray(cur[(0,) * cur.ndim])
-    dt = time.perf_counter() - t0
-    ops_per_sec = BATCH * REPS / dt
-    _log(f"{dt*1e3/REPS:.3f} ms per batched step")
+    for fn_ in (loop_lo, loop_fn):
+        w = fn_(d1, d2, keys)
+        _ = np.asarray(w[(0,) * w.ndim])
+    t_lo = min(timed(loop_lo, d1p), timed(loop_lo, d1p))
+    t_hi = min(timed(loop_fn, d1p), timed(loop_fn, d1p))
+    dt = (t_hi - t_lo) / (REPS - reps_lo)
+    if dt <= 0:
+        raise AssertionError(
+            f"[bench] non-positive slope (t_lo={t_lo:.4f}, t_hi={t_hi:.4f}); "
+            "raise TROY_BENCH_REPS")
+    ops_per_sec = BATCH / dt
+    _log(f"{dt*1e3:.3f} ms per batched step "
+         f"(slope over {REPS}-{reps_lo} reps; constant "
+         f"{(t_lo - reps_lo * dt)*1e3:.1f} ms excluded)")
     print(json.dumps({
         "metric": (f"{SCHEME.lower()}_n{N}_{OP}"
                    + ("_wide" if max(QBITS) > 30 else "")
