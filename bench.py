@@ -104,7 +104,8 @@ def _setup_cache_impl():
         ct2 = encryptor.encrypt_symmetric(encoder.encode(m2, scale=scale))
         cd = context.first_context_data()
     else:
-        context, keygen, encryptor, evaluator, encoder = _build(N, QBITS, 20)
+        context, keygen, encryptor, evaluator, encoder = _build(
+            N, QBITS, 20, scheme=SCHEME)
         cd = context.first_context_data()
         t_val = cd.parms.plain_modulus.value
         m1 = rng.integers(0, t_val, size=N, dtype=np.uint64)

@@ -21,9 +21,6 @@ run TROY_BENCH_OP=rotate
 # wide (reference-default params {60,40,40,60})
 run TROY_BENCH_QBITS=60,40,40,60 TROY_BENCH_LIMBS=4
 run TROY_BENCH_SCHEME=CKKS TROY_BENCH_QBITS=60,40,40,60 TROY_BENCH_LIMBS=4
-# fused experimental kernel
-run TROY_FUSED_MUL=1
-
 # NTT latency + app-layer wall time
 timeout 900 python scripts/ntt_bench.py || echo "FAILED: ntt_bench" >&2
 timeout 900 python scripts/matmul_bench.py || echo "FAILED: matmul_bench" >&2

@@ -323,39 +323,25 @@ class Evaluator(LweOpsMixin):
         """Pure traceable BEHZ multiply on raw (..., size, [2,] L, n) arrays;
         x2=None squares x1.  Shared by the jitted per-level kernel and the
         batched/parallel composites (parallel/batched.py)."""
-        import jax as _jax
-
-        from ..ops.fused_mul import FUSED_MUL_ENABLED, fused_negacyclic_multiply
-
         tool = cd.rns_tool
         qtab = cd.qtab()
         btab = tool.bsk_ntt.pack()
         t = cd.parms.plain_modulus.value
 
-        use_fused = (FUSED_MUL_ENABLED and x2 is not None
-                     and "ss_T" in qtab and "ss_T" in btab
-                     and _jax.default_backend() != "cpu")
-        if use_fused:
-            # fused Pallas kernel: NTT -> convolute -> INTT per base in VMEM
-            x1_b = tool.fast_b_conv_m_tilde_sm_mrq(x1)          # steps 1-2
-            x2_b = tool.fast_b_conv_m_tilde_sm_mrq(x2)
-            d_q = fused_negacyclic_multiply(x1, x2, qtab)       # steps 3-5 (q)
-            d_b = fused_negacyclic_multiply(x1_b, x2_b, btab)   # steps 3-5 (Bsk)
-        else:
-            def prep(x):
-                x_q = R.ntt_forward(x, qtab)                    # step 3 (q)
-                x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)        # steps 1-2
-                return x_q, R.ntt_forward(x_b, btab)            # step 3 (Bsk)
+        def prep(x):
+            x_q = R.ntt_forward(x, qtab)                    # step 3 (q)
+            x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)        # steps 1-2
+            return x_q, R.ntt_forward(x_b, btab)            # step 3 (Bsk)
 
-            a_q, a_b = prep(x1)
-            if x2 is None:
-                d_q, d_b = R.dyadic_square(a_q, qtab), R.dyadic_square(a_b, btab)
-            else:
-                b_q, b_b = prep(x2)
-                d_q = R.dyadic_convolute(a_q, b_q, qtab)        # step 4
-                d_b = R.dyadic_convolute(a_b, b_b, btab)
-            d_q = R.ntt_inverse(d_q, qtab)                      # step 5
-            d_b = R.ntt_inverse(d_b, btab)
+        a_q, a_b = prep(x1)
+        if x2 is None:
+            d_q, d_b = R.dyadic_square(a_q, qtab), R.dyadic_square(a_b, btab)
+        else:
+            b_q, b_b = prep(x2)
+            d_q = R.dyadic_convolute(a_q, b_q, qtab)        # step 4
+            d_b = R.dyadic_convolute(a_b, b_b, btab)
+        d_q = R.ntt_inverse(d_q, qtab)                      # step 5
+        d_b = R.ntt_inverse(d_b, btab)
         d_q = R.multiply_scalar(d_q, t, qtab)                   # x t
         d_b = R.multiply_scalar(d_b, t, btab)
         return tool.fast_floor_fast_b_conv_sk(d_q, d_b)         # steps 6-8

@@ -16,14 +16,16 @@ Mosaic constraint workaround: no in-kernel scalar broadcasts (unsupported
 per-group twiddle is pre-expanded to full lane width on the XLA side and
 accessed with pure slices.
 
-Enable in the evaluator with TROY_FUSED_MUL=1 (off by default; see BENCH.md).
-Bit-identical to the unfused path.
+Status (round 3): measured consistently SLOWER than letting XLA fuse the
+six-step formulation (4.41 vs 3.48 ms per flagship batched step), so it is
+NOT wired into the evaluator — kept as a bit-exact standalone kernel
+(tests/utils/test_fused_mul.py) and as the starting point for a future
+whole-multiply megakernel.  Bit-identical to the unfused path.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import u32 as U
-
-FUSED_MUL_ENABLED = os.environ.get("TROY_FUSED_MUL", "0") == "1"
 
 
 def _bf_fwd_laned(x, psi_l, psi_sh_l, q, two_q, N, M):
