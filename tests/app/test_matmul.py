@@ -217,3 +217,24 @@ def test_ring2k_wide_matmul():
     want = (x @ w) & mask
     got = np.vectorize(lambda v: int(v) & mask, otypes=[object])(dec)
     np.testing.assert_array_equal(got, want)
+
+
+def test_contract_then_modswitch_no_tracer_leak():
+    """multiply_plain_contract must materialize the shared base_q pack
+    before tracing: a later jitted op at the same level (mod_switch_to_next)
+    previously exploded with UnexpectedTracerError (round-3 regression)."""
+    n = 64
+    h = GeneralHeContext("BFV", n, log_t=20, q_bits=(30, 30, 30, 30))
+    adapter = BatchEncoderAdapter(h.encoder)
+    helper = MatmulHelper(2, 3, 2, n, MatmulObjective.EncryptLeft,
+                          pack_lwe=False)
+    x = RNG.integers(0, h.t, (2, 3), dtype=np.uint64)
+    w = RNG.integers(0, h.t, (3, 2), dtype=np.uint64)
+    y = helper.matmul(h.evaluator, helper.encrypt_inputs(h.encryptor, adapter, x),
+                      helper.encode_weights(adapter, w))
+    y2 = [[h.evaluator.mod_switch_to_next(c) for c in row] for row in y.data]
+    from troy_tpu.app.cipher2d import Cipher2d
+
+    dec = helper.decrypt_outputs(adapter, h.decryptor, Cipher2d(y2))
+    want = (x.astype(object) @ w.astype(object)) % h.t
+    np.testing.assert_array_equal(dec.astype(object) % h.t, want)

@@ -895,6 +895,8 @@ class Evaluator(LweOpsMixin):
         A = jnp.stack([jnp.stack([ct.data for ct in row]) for row in cts])
         W_raw = jnp.stack([jnp.stack([p.data for p in row]) for row in plains])
         qtab = cd.qtab()  # materialize before tracing
+        if not cd.wide:
+            cd.base_q.pack()  # BFVScaler._qtabs shares this lazy pack
         rns_form = scheme == SchemeType.CKKS or self._is_rns_plain(p0, cd)
         cent = None if rns_form else self._centralizer(cd)
         ct_ntt, p_ntt = ct0.is_ntt_form, p0.is_ntt_form
