@@ -117,8 +117,8 @@ class TestRoundWords:
         rng = np.random.default_rng(3)
         ints = rng.integers(-(2 ** 45), 2 ** 45, size=64)
         h, l = DD.split_f64(ints.astype(np.float64))
-        hi24, w0 = DD.dd_round_words(jnp.asarray(h), jnp.asarray(l))
-        res = np.asarray(DD.words_to_rns_fast(hi24, w0, list(moduli)))
+        words = DD.dd_to_words(jnp.asarray(h), jnp.asarray(l), 2)
+        res = np.asarray(DD.words_to_rns_fast(words, list(moduli)))
         for i, m in enumerate(moduli):
             expect = [int(v) % m.value for v in ints]
             assert res[i].tolist() == expect
@@ -129,13 +129,38 @@ class TestRoundWords:
         rng = np.random.default_rng(4)
         ints = rng.integers(-(2 ** 45), 2 ** 45, size=64)
         h, l = DD.split_f64(ints.astype(np.float64))
-        hi24, w0 = DD.dd_round_words(jnp.asarray(h), jnp.asarray(l))
-        res = np.asarray(DD.words_to_rns_wide(hi24, w0, list(moduli)),
+        words = DD.dd_to_words(jnp.asarray(h), jnp.asarray(l), 2)
+        res = np.asarray(DD.words_to_rns_wide(words, list(moduli)),
                          dtype=np.uint64)
         vals = (res[0] << np.uint64(32)) | res[1]
         for i, m in enumerate(moduli):
             expect = [int(v) % m.value for v in ints]
             assert vals[i].tolist() == expect
+
+    @pytest.mark.parametrize("W", [3, 4, 5])
+    def test_multiword_exact(self, W):
+        """dd_to_words at W > 2: the words must reconstruct the rounded dd
+        value exactly for |value| within the dd-exact range, and the RNS
+        reduction of the words stays a bit-exact function of them."""
+        g = GeneralHeContext("CKKS", 32, q_bits=(30, 30))
+        moduli = g.context.first_context_data().parms.coeff_modulus
+        rng = np.random.default_rng(40 + W)
+        # values exactly representable as dd (<= 2^45 keeps split exact)
+        ints = rng.integers(-(2 ** 45), 2 ** 45, size=128)
+        h, l = DD.split_f64(ints.astype(np.float64))
+        words = DD.dd_to_words(jnp.asarray(h), jnp.asarray(l), W)
+        ws = [np.asarray(w, dtype=np.int64) for w in words]
+        for w in ws:
+            assert (0 <= w).all() and (w < 2 ** 24).all()
+        # Python-int oracle (numpy would wrap at 2^63)
+        for j in range(len(ints)):
+            recon = sum(int(w[j]) * 2 ** (24 * i)
+                        for i, w in enumerate(ws)) - DD.words_shift(W)
+            assert recon == int(ints[j])
+        res = np.asarray(DD.words_to_rns_fast(words, list(moduli)))
+        for i, m in enumerate(moduli):
+            expect = [int(v) % m.value for v in ints]
+            assert res[i].tolist() == expect
 
 
 class TestEncodeDevice:
@@ -181,10 +206,25 @@ class TestEncodeDevice:
                             is_ntt_form=True)
             assert np.max(np.abs(g.encoder.decode(row) - vs[i])) < 1e-5
 
+    def test_large_scale_tier(self):
+        """scale * max|v| ~ 2^50 — beyond the W=2 exact tier (2^46), handled
+        by the multi-word tier with ~2^-47 relative coefficient error (ref:
+        the 128-bit tier of src/ckks_encoder.cu:454-692)."""
+        g = GeneralHeContext("CKKS", 64, q_bits=(60, 60, 60), scale=2.0 ** 40)
+        rng = np.random.default_rng(17)
+        v = rng.uniform(-1000.0, 1000.0, g.encoder.slot_count)
+        pt = g.encoder.encode_device(v, scale=2.0 ** 40)
+        back = g.encoder.decode(pt)
+        # error budget: FFT 2^-47 relative on coeffs ~2^50 -> ~2^3/scale
+        assert np.max(np.abs(back - v)) < 1e-6
+
     def test_bound_gate(self):
         g = GeneralHeContext("CKKS", 64, q_bits=(30, 30, 30), scale=2.0 ** 40)
-        with pytest.raises(ValueError, match="double-float bound"):
-            g.encoder.encode_device(np.full(4, 1000.0), scale=2.0 ** 40)
+        with pytest.raises(ValueError, match="2\\^117 device bound"):
+            g.encoder.encode_device(np.full(4, 2.0 ** 80), scale=2.0 ** 40)
+        with pytest.raises(ValueError, match="exceed q/2"):
+            # C = 2^90 clears the word-count gate but not Q = 2^90
+            g.encoder.encode_device(np.full(4, 2.0 ** 50), scale=2.0 ** 40)
 
 
 class TestEncodeDeviceProperties:
@@ -259,9 +299,17 @@ class TestDecodeDevice:
         assert got.shape == vs.shape
         assert np.max(np.abs(got - vs)) < 1e-5
 
-    def test_margin_gate(self):
+    def test_large_margin_fresh_ct(self):
+        """Round 3 lifts the old log2(Q/scale) <= 20 gate: the fixed-point
+        fractional CRT keeps RELATIVE precision at any margin, so a fresh
+        (never rescaled) plaintext decodes on device.  Q = 130 bits wide
+        path, margin 95 bits."""
         g = GeneralHeContext("CKKS", 64, q_bits=(50, 40, 40), scale=2.0 ** 35)
-        v = np.zeros(g.encoder.slot_count)
-        pt = g.encoder.encode(v, scale=2.0 ** 35)  # Q = 90 bits, margin 55
-        with pytest.raises(ValueError, match="20-bit double-float margin"):
-            g.encoder.decode_device(pt)
+        rng = np.random.default_rng(23)
+        v = rng.uniform(-1, 1, g.encoder.slot_count) \
+            + 1j * rng.uniform(-1, 1, g.encoder.slot_count)
+        pt = g.encoder.encode(v, scale=2.0 ** 35)
+        d_dev = g.encoder.decode_device(pt)
+        d_host = g.encoder.decode(pt)
+        assert np.max(np.abs(d_dev - d_host)) < 1e-9
+        assert np.max(np.abs(d_dev - v)) < 1e-5

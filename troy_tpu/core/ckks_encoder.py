@@ -125,8 +125,6 @@ class CKKSEncoder:
     # ------------------------------------------------------------------
     # Device fast path: double-float FFT + exact RNS rounding (ops/ddfft.py)
     # ------------------------------------------------------------------
-    _DEVICE_COEFF_BOUND = 2.0 ** 46
-
     def _device_tables(self):
         """Per-encoder FFT constants for the device encode pipeline (host
         numpy, built once)."""
@@ -142,15 +140,16 @@ class CKKSEncoder:
             }
         return self._dd_tables
 
-    def _encode_device_jit(self, cd: ContextData):
-        """One jitted pipeline per level: dd FFT -> untwist -> scale ->
-        exact round/RNS -> NTT.  Cached on the shared ContextData._jit_ops
-        dict (one compile per level, shared across encoder instances)."""
+    def _encode_device_jit(self, cd: ContextData, W: int = 2):
+        """One jitted pipeline per (level, word count): dd FFT -> untwist ->
+        scale -> round to W 24-bit words -> RNS -> NTT.  Cached on the shared
+        ContextData._jit_ops dict (one compile per key, shared across
+        encoder instances)."""
         cache = getattr(cd, "_jit_ops", None)
         if cache is None:
             cache = {}
             cd._jit_ops = cache
-        key = "encoder_device_encode"
+        key = ("encoder_device_encode", W)
         if key in cache:
             return cache[key]
         tabs = self._device_tables()
@@ -168,11 +167,11 @@ class CKKSEncoder:
             t1 = DD.dd_mul(X[2], X[3], untwist[2], untwist[3])
             ch, cl = DD.dd_sub(t0[0], t0[1], t1[0], t1[1])
             ch, cl = DD.dd_mul(ch, cl, f_h, f_l)
-            hi24, w0 = DD.dd_round_words(ch, cl)
+            words = DD.dd_to_words(ch, cl, W)
             if wide:
-                rns = DD.words_to_rns_wide(hi24, w0, moduli)
+                rns = DD.words_to_rns_wide(words, moduli)
             else:
-                rns = DD.words_to_rns_fast(hi24, w0, moduli)
+                rns = DD.words_to_rns_fast(words, moduli)
             return R.ntt_forward(rns, qtab)
 
         cache[key] = jax.jit(fn)
@@ -181,25 +180,44 @@ class CKKSEncoder:
     def encode_device(self, values, parms_id: ParmsID | None = None,
                       scale: float = 2.0 ** 40) -> Plaintext:
         """SIMD encode fully on device (double-float FFT — the TPU-native
-        analog of the reference's device encoder, src/ckks_encoder.cu:231).
+        analog of the reference's device encoder, src/ckks_encoder.cu:231,
+        with the three-tier integer conversion of ckks_encoder.cu:454-692
+        generalized to W 24-bit word planes).
 
-        Bit-exactness: the rounding + RNS stages are exact; only the FFT
-        rounds at ~2^-48 relative (vs the host path's f64 2^-53), so a few
-        coefficients near a .5 rounding boundary may round differently from
-        `encode` — an extra noise term far below CKKS encoding noise.
-        Requires scale * max|value| < 2^46; use `encode` beyond that.
+        Tiers (C = scale * max|value|, auto-selected):
+          * C < 2^46  (W=2): the rounding + RNS stages are exact; only the
+            FFT rounds at ~2^-48 relative, so a few coefficients near a .5
+            boundary may round differently from `encode` — noise far below
+            CKKS encoding noise.
+          * C < 2^117 (W<=5): coefficients carry ~48 significant bits; the
+            absolute coefficient error is <= C * 2^-47 (the reference's f64
+            device encoder likewise carries C * 2^-52), i.e. a relative
+            value error ~2^-47 — below the fresh-encryption noise floor for
+            every standard parameter set.  The word decomposition and RNS
+            reduction remain bit-exact functions of the rounded integers.
+        Beyond W=5 (or C >= Q/2, which no valid encode allows) use the host
+        big-int `encode`.
 
         A leading batch axis is supported: values (B, slots) yields a
         Plaintext whose data carries the same leading axis (for
         BatchedEvaluator pipelines)."""
+        import math
+
         cd = self.context.get_context_data(parms_id or self.context.first_parms_id)
         arr = np.atleast_1d(np.asarray(values, dtype=np.complex128))
         vmax = float(np.max(np.abs(arr))) if arr.size else 0.0
-        if scale * vmax >= self._DEVICE_COEFF_BOUND:
+        C = scale * max(vmax, 1.0)
+        W = 2
+        while (1 << (24 * (W - 1) + 21)) <= C:  # 4x headroom under the shift
+            W += 1
+        if W > 5:
             raise ValueError(
                 "[CKKSEncoder.encode_device] scale * max|value| = "
-                f"{scale * vmax:.3g} exceeds the 2^46 double-float bound; "
-                "use encode() (host f64 path) for larger operands")
+                f"{C:.3g} exceeds the 2^117 device bound; "
+                "use encode() (host big-int path)")
+        if C * 2 >= math.ldexp(1.0, cd.total_coeff_modulus.bit_length() - 1):
+            raise ValueError(
+                "[CKKSEncoder.encode_device] scaled values exceed q/2")
         lead = arr.shape[:-1]
         if arr.shape[-1] > self.slots:
             raise ValueError("[CKKSEncoder.encode_device] too many values")
@@ -211,23 +229,22 @@ class CKKSEncoder:
         rh, rl = DD.split_f64(ev.real)
         ih, il = DD.split_f64(ev.imag)
         f_h, f_l = DD.split_f64(np.float64(scale / self.n))
-        data = self._encode_device_jit(cd)(
+        data = self._encode_device_jit(cd, W)(
             jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih),
             jnp.asarray(il), jnp.asarray(f_h), jnp.asarray(f_l))
         return Plaintext(data, parms_id=cd.parms_id, scale=scale,
                          is_ntt_form=True)
 
-    _DEVICE_DECODE_MARGIN_BITS = 20
-
-    def _decode_device_jit(self, cd: ContextData, ntt_form: bool):
-        """Jitted device decode per (level, form): INTT -> punctured-inverse
-        multiply -> fractional CRT in dd -> * (Q/scale) -> twist -> inverse
+    def _decode_device_jit(self, cd: ContextData, ntt_form: bool, K: int):
+        """Jitted device decode per (level, form, fixed-point width K):
+        INTT -> punctured-inverse multiply -> fixed-point fractional CRT
+        (ops/ddfft.frac_crt_fixed) -> * (Q/scale) -> twist -> inverse
         embedding FFT -> slot gather.  Returns the 4 dd component arrays."""
         cache = getattr(cd, "_jit_ops", None)
         if cache is None:
             cache = {}
             cd._jit_ops = cache
-        key = ("encoder_device_decode", ntt_form)
+        key = ("encoder_device_decode", ntt_form, K)
         if key in cache:
             return cache[key]
         import math
@@ -241,7 +258,7 @@ class CKKSEncoder:
         i = np.arange(self.n)
         tw = tuple(jnp.asarray(c)
                    for c in DD.cdd_tables(np.exp(1j * np.pi * i / self.n)))
-        inv_q_tabs = [DD.ratio_dd(1, m.value) for m in moduli]
+        r_word_cols = DD.frac_crt_words(moduli, K)
         idx_slots = jnp.asarray(self._idx)
         if wide:
             from ..ops import u64 as U64
@@ -278,7 +295,7 @@ class CKKSEncoder:
                 y = U32.shoup_mul(x, bp["inv_punctured"][:, None],
                                   bp["inv_punctured_shoup"][:, None],
                                   bp["q"][:, None])
-            fh, fl = DD.frac_crt_dd(y, inv_q_tabs)
+            fh, fl = DD.frac_crt_fixed(y, r_word_cols, K)
             ch, cl = DD.dd_mul(fh, fl, qs_h, qs_l)
             yr = DD.dd_mul(ch, cl, tw[0], tw[1])
             yi = DD.dd_mul(ch, cl, tw[2], tw[3])
@@ -291,29 +308,32 @@ class CKKSEncoder:
         return cache[key]
 
     def decode_device(self, plain: Plaintext) -> np.ndarray:
-        """Decode fully on device via dd fractional CRT — the serving fast
-        path.  Valid when log2(Q) - log2(scale) <= 20 bits (i.e. the
-        plaintext has been rescaled/mod-switched down so the remaining
-        modulus margin is small — the normal state at the end of a CKKS
-        computation).  Absolute output error ~ (Q/scale) * 2^-47; use
-        `decode` (host CRT compose, exact big-int) for larger margins.
+        """Decode fully on device — the serving fast path, valid at ANY
+        level/scale state (fresh or rescaled).
+
+        The round-2 implementation summed y_i/q_i in dd floats, whose O(1)
+        terms cancel down to the tiny fraction value/Q, leaving ~2^-48
+        ABSOLUTE error — hence the old log2(Q/scale) <= 20 gate.  Round 3
+        does the cancellation in exact integer fixed point (frac_crt_fixed:
+        sum y_i*floor(2^(32K)/q_i) mod 2^(32K)) and only then converts the
+        centered fraction to dd, so precision is RELATIVE: output error
+        ~ |value| * 2^-47 + (Q/scale) * 2^-(32(K-4)), with K chosen from the
+        level's margin.  Use `decode` (host big-int) when bit-exact
+        round-half-away rounding matters.
 
         TPU-native replacement for the reference's device decode
         (src/ckks_encoder.cu:1092 + fft_inverse_...): same pipeline, with
-        the CRT compose replaced by the fractional-CRT trick so no big-int
-        arithmetic is needed on device."""
+        the CRT compose replaced by the fixed-point fractional-CRT so no
+        big-int arithmetic is needed on device."""
         import math
 
         cd = self.context.get_context_data(plain.parms_id)
         Q = cd.total_coeff_modulus
-        margin = Q.bit_length() - math.log2(plain.scale)
-        if margin > self._DEVICE_DECODE_MARGIN_BITS:
-            raise ValueError(
-                f"[CKKSEncoder.decode_device] log2(Q/scale) = {margin:.1f} "
-                "exceeds the 20-bit double-float margin; use decode() "
-                "(host big-int path) or rescale further first")
+        margin = max(0.0, Q.bit_length() - math.log2(plain.scale))
+        # truncation term (Q/scale)*2^-(32(K-4)) kept below 2^-40
+        K = max(5, 4 + math.ceil((margin + 40) / 32))
         qs_h, qs_l = DD.ratio_dd(Q, plain.scale)
-        out = self._decode_device_jit(cd, plain.is_ntt_form)(
+        out = self._decode_device_jit(cd, plain.is_ntt_form, K)(
             plain.data, jnp.asarray(qs_h), jnp.asarray(qs_l))
         comps = [np.asarray(c, dtype=np.float64) for c in out]
         return (comps[0] + comps[1]) + 1j * (comps[2] + comps[3])

@@ -23,16 +23,32 @@ Conventions: a dd number is a pair of same-shape jnp.float32 arrays
 (hi, lo); a dd complex is a 4-tuple (re_hi, re_lo, im_hi, im_lo).  All
 functions broadcast and are meant to be called inside an enclosing jit.
 
-NOTE these error-free transforms rely on IEEE-correct f32 add/sub/mul with
-no reassociation.  XLA does not reassociate floating-point ops (its HLO
-semantics are value-preserving; fast-math reassociation is off by default on
-both CPU and TPU), and FMA contraction can only *tighten* the TwoProd error
-term.  tests/core/test_ckks_device_encode.py asserts the achieved precision.
+NOTE on FMA contraction: XLA's HLO semantics are value-preserving (no
+reassociation), but the CPU backend's instruction selection contracts
+mul+add/sub pairs into FMAs *per kernel* (LLVM TargetOptions FPOpFusion,
+invisible in the emitted LLVM IR).  When a fusion recomputes a product next
+to a TwoSum-style subtraction, the contraction silently destroys the error
+term — observed: quick_two_sum(a*b, pl) compiled e = pl - (s - fma(a,b,0))
+in one kernel while another kernel materialised s from fl(a*b), losing the
+product rounding (~2^-24 relative) in decode_device.  The primitives below
+are therefore written to be CONTRACTION-IMMUNE BY CONSTRUCTION:
+
+  * _split masks the mantissa in integer space — both halves have <= 12
+    significand bits, so every sub-product in two_prod is EXACT in f32 and
+    any fma contraction of it is a numerical no-op;
+  * two_prod's high result is produced by two_sum (an add node, never a
+    raw multiply), so no consumer add/sub can contract around it;
+  * the only remaining muls feeding adds are either exact (power-of-two
+    scalings, split sub-products) or already-rounded residual cross terms
+    whose ulp-level perturbation is inside the dd error budget.
+
+tests/core/test_ckks_device_encode.py asserts the achieved precision.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import u32 as U
@@ -40,7 +56,6 @@ from . import u64 as U64
 from .jitu import safe_stack
 
 F32 = jnp.float32
-_SPLIT = np.float32(4097.0)  # 2^12 + 1 (Dekker split constant for f32)
 
 
 # ---------------------------------------------------------------------------
@@ -63,17 +78,29 @@ def quick_two_sum(a, b):
 
 
 def _split(a):
-    t = _SPLIT * a
-    hi = t - (t - a)
+    """a -> (hi, lo) with a == hi + lo exactly, each half <= 12 significand
+    bits.  Integer mantissa masking instead of the classic Veltkamp multiply
+    split: truncating the low 12 mantissa bits is exact, lo = a - hi is
+    Sterbenz-exact, and — unlike (4097*a - (4097*a - a)) — there is no float
+    mul/sub chain a backend FMA contraction or simplifier can collapse."""
+    u = jax.lax.bitcast_convert_type(a, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.int32(~0xFFF), jnp.float32)
     return hi, a - hi
 
 
 def two_prod(a, b):
-    """p + e == a * b exactly, p = fl(a * b) (Dekker; FMA-contraction safe)."""
-    p = a * b
+    """p + e ~= a * b with |error| <~ 2^-48 |ab|; p = fl(a*b) or the nearest
+    float above/below it.
+
+    All four sub-products of the 12-bit halves are EXACT in f32, and p is
+    assembled with two_sum (so it is an add node, not a raw multiply): every
+    possible backend FMA contraction is a numerical no-op — see module note."""
     ahi, alo = _split(a)
     bhi, blo = _split(b)
-    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    h1 = ahi * bhi                      # exact (12+12 bits)
+    cc, ce = two_sum(ahi * blo, alo * bhi)   # both exact
+    p, pe = two_sum(h1, cc)
+    e = pe + (ce + alo * blo)           # alo*blo exact; adds round at 2^-48
     return p, e
 
 
@@ -214,28 +241,66 @@ _C_SHIFT = 1 << 47  # centering offset: |rounded coeff| must stay < 2^46
 
 
 def dd_round_words(h, l):
-    """Round the dd value h + l (|value| < 2^46) to the nearest integer and
-    return (hi24, w0) int32 words with  value_rounded = hi24·2^24 + w0 - 2^47,
-    hi24, w0 in [0, 2^24).  Every step is error-free, so the words are an
-    exact function of the rounded integer.
+    """Legacy 2-word form of dd_to_words (|value| < 2^46, exact rounding):
+    returns (hi24, w0) with  value_rounded = hi24·2^24 + w0 - 2^47.
 
-    The 2^47 centering shift is applied in INTEGER arithmetic: under jit,
-    XLA's algebraic simplifier reassociates float add/sub chains that
-    involve a constant operand, which silently destroys a TwoSum error term
-    (observed: two_sum(2^47, x) loses up to 2^23 under jit on CPU).  The
-    float stages below keep every intermediate exactly representable, so no
-    error terms are needed at all."""
-    rh = jnp.round(h)              # exact: round of f32 is exact
-    fr = (h - rh) + l              # |h - rh| <= 0.5 exactly (nearby floats)
-    r2 = jnp.round(fr).astype(jnp.int32)   # in {-1, 0, 1}
-    # integer value = rh + r2; split rh into exact 24-bit words:
-    h24f = jnp.floor(rh * np.float32(2.0 ** -24))   # exact (|rh| < 2^46)
-    remf = rh - h24f * np.float32(1 << 24)          # exact, in [0, 2^24)
-    rem_i = remf.astype(jnp.int32) + r2
-    carry = rem_i >> 24            # arithmetic shift = floor division
-    w0 = rem_i - (carry << 24)
-    hi24 = h24f.astype(jnp.int32) + carry + jnp.int32(1 << 23)
-    return hi24, w0
+    The centering shift is applied in INTEGER arithmetic: under jit, XLA's
+    algebraic simplifier reassociates float add/sub chains that involve a
+    constant operand, which silently destroys a TwoSum error term (observed:
+    two_sum(2^47, x) loses up to 2^23 under jit on CPU).  The float stages
+    in dd_to_words keep every intermediate exactly representable instead."""
+    w0, w1 = dd_to_words(h, l, 2)
+    return w1, w0
+
+
+def dd_to_words(h, l, W: int):
+    """Round the dd value h + l to the nearest integer and return W int32
+    word arrays [w0..w_{W-1}] (little-endian, each in [0, 2^24)) with
+
+        value_rounded = sum_w w_w * 2^(24*w)  -  2^(24*(W-1) + 23).
+
+    Requires |value| < 2^(24*(W-1) + 23).  W=2 is dd_round_words exactly.
+
+    Error-free stages: round(f32) is exact; splitting an f32 into 24-bit
+    word planes via floor(x * 2^-24) is exact (power-of-2 scaling + floor of
+    exactly-representable integers); the residual subtraction is Sterbenz-
+    exact; carries propagate in int32.  For |value| >= 2^46 the dd pair
+    itself carries only ~48 significant bits, so the *rounded integer* is
+    within value*2^-47 of the true real — the words are still an exact
+    function of that rounded integer (see encode_device tier notes)."""
+    rh = jnp.round(h)                       # exact
+    d = (h - rh) + l                        # exact (h-rh Sterbenz; + l: f32)
+    rl = jnp.round(d)                       # exact; |d - rl| <= 0.5
+    r2 = jnp.round(d - rl).astype(jnp.int32)  # ties: in {-1, 0, 1}
+
+    def split_words(x, n_words):
+        """f32 integer-valued array -> n_words exact int32 24-bit planes
+        (signed; |x| < 2^(24*n_words - 1))."""
+        out = []
+        cur = x
+        for _ in range(n_words - 1):
+            q = jnp.floor(cur * np.float32(2.0 ** -24))
+            out.append((cur - q * np.float32(1 << 24)).astype(jnp.int32))
+            cur = q
+        out.append(cur.astype(jnp.int32))
+        return out
+
+    wh = split_words(rh, W)
+    wl = split_words(rl, max(1, W - 1))     # |rl| <= ulp(h)/2 < 2^(24(W-2)+?)
+    words = [wh[i] + (wl[i] if i < len(wl) else 0) for i in range(W)]
+    words[0] = words[0] + r2
+    # carry-normalize to [0, 2^24) and fold the centering shift into the top
+    for i in range(W - 1):
+        carry = words[i] >> 24              # arithmetic shift = floor div
+        words[i] = words[i] - (carry << 24)
+        words[i + 1] = words[i + 1] + carry
+    words[W - 1] = words[W - 1] + jnp.int32(1 << 23)
+    return words
+
+
+def words_shift(W: int) -> int:
+    """The centering offset dd_to_words folds into the top word."""
+    return 1 << (24 * (W - 1) + 23)
 
 
 def u32_to_dd(x):
@@ -290,44 +355,135 @@ def frac_crt_dd(y, inv_q_tabs):
     return quick_two_sum(sh - r, sl)
 
 
-def words_to_rns_fast(hi24, w0, moduli):
-    """(hi24, w0) int32 words -> (..., L, n) uint32 residues for fast-path
-    primes (q < 2^30).  residue = (hi24·(2^24 mod q) + w0 + (-2^47 mod q))
-    mod q via one 64-bit Barrett per prime."""
-    outs = []
-    hi_u = hi24.astype(jnp.uint32)
-    w0_u = w0.astype(jnp.uint32)
-    zero = jnp.zeros_like(w0_u)
+def frac_crt_fixed(y, r_word_cols, K: int):
+    """Fixed-point fractional CRT: residue rows y_i (pre-multiplied by the
+    punctured inverses) -> centered fraction  value/Q in (-1/2, 1/2]  as a
+    dd pair, via an EXACT integer accumulation
+
+        acc = sum_i y_i * floor(2^(32K) / q_i)   (mod 2^(32K))
+
+    followed by a signed dd conversion of the top four 32-bit words.  Unlike
+    the pure-dd frac_crt_dd (whose O(1)-magnitude terms cancel to a tiny
+    fraction, leaving ~2^-48 ABSOLUTE error), the cancellation here happens
+    in integer arithmetic, so the result keeps ~48 bits RELATIVE precision
+    down to fractions as small as 2^-(32(K-4)) — margin-free device decode
+    (ref: the reference's device decode composes the big integer instead,
+    src/ckks_encoder.cu:1092; this is the TPU-native equivalent).
+
+    y: (..., L, n) u32, or ((..., L, n) hi, lo) pair for wide primes;
+    r_word_cols: per-limb list of K u32 numpy words (little-endian) of
+    floor(2^(32K)/q_i).  Error: truncation L*2^-(32K) absolute (in fraction
+    units) + 2^-48 relative from the dd conversion.
+
+    The accumulation is VECTORIZED over the limb axis: per output word, the
+    (up to 4) contributing (..., L, n) product planes are summed exactly via
+    16-bit halves (L·4 terms << 2^16, so u32 never overflows), then one
+    K-step carry chain normalizes the words.  (A per-limb Python loop with
+    chained carry propagation builds an O(L·K)-deep expression tree that the
+    XLA:CPU emitter re-emits per consumer — compile time exploded at L=3.)"""
+    wide = isinstance(y, tuple)
+    L = (y[0] if wide else y).shape[-2]
+    proto = (y[0] if wide else y)[..., 0, :]
+    r_tab = np.stack(r_word_cols)                      # (L, K) uint32
+    rows = [(0, y)] if not wide else [(0, y[1]), (1, y[0])]
+    contrib: list = [[] for _ in range(K)]             # u32 planes (..., L, n)
+    for off, yr in rows:
+        for w in range(K):
+            col = r_tab[:, w]
+            if not col.any():
+                continue
+            rw = jnp.asarray(col)[:, None]             # (L, 1) broadcast
+            hi, lo = U.mul32_wide(yr, rw)
+            if w + off < K:
+                contrib[w + off].append(lo)
+            if w + off + 1 < K:
+                contrib[w + off + 1].append(hi)
+    m16 = U.U32(0xFFFF)
+    zero = jnp.zeros_like(proto)
+    carry = zero
+    acc: list = []
+    for k in range(K):
+        if contrib[k]:
+            s_lo = sum(jnp.sum(t & m16, axis=-2) for t in contrib[k])
+            s_hi = sum(jnp.sum(t >> 16, axis=-2) for t in contrib[k])
+            t_hi, t_lo = U.add64(s_hi >> 16, s_hi << 16, zero, s_lo)
+            t_hi2, t_lo2 = U.add64(t_hi, t_lo, zero, carry)
+        else:
+            t_hi2, t_lo2 = U.add64(zero, zero, zero, carry)
+        acc.append(t_lo2)
+        carry = t_hi2
+    # signed dd conversion of the top 4 words: two's-complement in the top
+    # word gives the CENTERED fraction directly (no cancelling subtraction).
+    # The top word is split 17+15 so both f32 halves are exact.
+    t = jax.lax.bitcast_convert_type(acc[K - 1], jnp.int32)
+    tl_i = t & jnp.int32(0x7FFF)
+    th_i = t - tl_i                       # multiple of 2^15, exact in f32
+    s32 = np.float32(2.0 ** -32)
+    sh, sl = dd_add(th_i.astype(jnp.float32) * s32, jnp.zeros_like(proto, jnp.float32),
+                    tl_i.astype(jnp.float32) * s32, jnp.zeros_like(proto, jnp.float32))
+    for k in range(2, min(K, 4) + 1):
+        wh, wl = u32_to_dd(acc[K - k])
+        scale = np.float32(2.0 ** (-32 * k))
+        sh, sl = dd_add(sh, sl, wh * scale, wl * scale)
+    return sh, sl
+
+
+def frac_crt_words(moduli, K: int):
+    """Host: per-limb little-endian u32 words of floor(2^(32K) / q_i)."""
+    out = []
     for m in moduli:
-        p24 = U.U32((1 << 24) % m.value)
-        d = U.U32((-_C_SHIFT) % m.value)
-        phi, plo = U.mul32_wide(hi_u, p24)
-        phi, plo = U.add64(phi, plo, zero, w0_u)
-        phi, plo = U.add64(phi, plo, zero, jnp.full_like(w0_u, d))
+        r = (1 << (32 * K)) // m.value
+        out.append(np.array([(r >> (32 * w)) & 0xFFFFFFFF for w in range(K)],
+                            dtype=np.uint32))
+    return out
+
+
+def words_to_rns_fast(words, moduli):
+    """W int32 24-bit words (dd_to_words) -> (..., L, n) uint32 residues for
+    fast-path primes (q < 2^30):
+        residue = (sum_w w_w·(2^24w mod q) + (-shift mod q)) mod q
+    accumulated exactly in a u64 pair (W+1 products of < 2^54), one Barrett
+    per prime."""
+    W = len(words)
+    shift = words_shift(W)
+    ws_u = [w.astype(jnp.uint32) for w in words]
+    zero = jnp.zeros_like(ws_u[0])
+    outs = []
+    for m in moduli:
+        d = U.U32((-shift) % m.value)
+        phi, plo = U.mul32_wide(ws_u[0], U.U32(1 % m.value))
+        for w in range(1, W):
+            th, tl = U.mul32_wide(ws_u[w], U.U32(pow(2, 24 * w, m.value)))
+            phi, plo = U.add64(phi, plo, th, tl)
+        phi, plo = U.add64(phi, plo, zero, jnp.full_like(ws_u[0], d))
         outs.append(U.barrett_reduce_u64(
             phi, plo, U.U32(m.value), U.U32(m.ratio64_hi), U.U32(m.ratio64_lo)))
     return safe_stack(outs, axis=-2)
 
 
-def words_to_rns_wide(hi24, w0, moduli):
-    """(hi24, w0) words -> (..., 2, L, n) u32-pair residues for wide primes
-    (31-60 bits): V = hi24·2^24 + w0 as an exact u64 pair, plus
-    (-2^47 mod q), one two-word Barrett per prime."""
-    hi_u = hi24.astype(jnp.uint32)
-    w0_u = w0.astype(jnp.uint32)
-    v_hi = hi_u >> 8
-    v_lo = (hi_u << 24) | w0_u
+def words_to_rns_wide(words, moduli):
+    """W int32 24-bit words -> (..., 2, L, n) u32-pair residues for wide
+    primes (31-60 bits): 128-bit-accumulated dot of the words against
+    (2^24w mod q) constants, one two-word Barrett per prime."""
+    W = len(words)
+    shift = words_shift(W)
+    ws_u = [w.astype(jnp.uint32) for w in words]
+    zero = jnp.zeros_like(ws_u[0])
     his, los = [], []
     for m in moduli:
-        d = (-_C_SHIFT) % m.value
-        d_hi, d_lo = U.U32(d >> 32), U.U32(d & 0xFFFFFFFF)
-        r0, r1, r2, r3 = (U.U32(w) for w in U64.barrett_ratio_u128(m.value))
         q_hi, q_lo = U.U32(m.value >> 32), U.U32(m.value & 0xFFFFFFFF)
-        a_hi, a_lo = U64.add64(v_hi, v_lo,
-                               jnp.full_like(v_hi, d_hi),
-                               jnp.full_like(v_lo, d_lo))
-        o_hi, o_lo = U64.barrett_reduce_u64(a_hi, a_lo, q_hi, q_lo,
-                                            r3, r2, r1, r0)
+        r0, r1, r2, r3 = (U.U32(w) for w in U64.barrett_ratio_u128(m.value))
+        d = (-shift) % m.value
+        pairs = [((zero, ws_u[w]),
+                  (jnp.full_like(zero, U.U32(pow(2, 24 * w, m.value) >> 32)),
+                   jnp.full_like(zero, U.U32(pow(2, 24 * w, m.value)
+                                             & 0xFFFFFFFF))))
+                 for w in range(W)]
+        pairs.append(((zero, jnp.ones_like(ws_u[0])),
+                      (jnp.full_like(zero, U.U32(d >> 32)),
+                       jnp.full_like(zero, U.U32(d & 0xFFFFFFFF)))))
+        o_hi, o_lo = U64.dot_mod64(pairs, q_hi, q_lo, r3, r2, r1, r0,
+                                   U64.dot_mod64_terms(m.value))
         his.append(o_hi)
         los.append(o_lo)
     return safe_stack(
