@@ -155,15 +155,17 @@ class Conv2dHelper:
         return self.encode_weights(adapter, weights, True).encrypt_symmetric(encryptor)
 
     # ------------------------------------------------------------------
-    def conv2d(self, evaluator: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
+    def conv2d(self, evaluator: Evaluator, a: Cipher2d, w: Plain2d,
+               mesh=None) -> Cipher2d:
         """Whole channel contraction in one fused kernel
-        (ref: conv2d.cu:356)."""
+        (ref: conv2d.cu:356).  mesh: optional ('data', 'limb') Mesh — batch
+        tiles shard over 'data', RNS limbs over 'limb'."""
         total = self.get_total_batch_size()
         ocg = ceil_div(self.output_channels, self.output_channel_block)
         icg = ceil_div(self.input_channels, self.input_channel_block)
         cts = [[a[eb][i] for i in range(icg)] for eb in range(total)]
         pls = [[w[j][i] for j in range(ocg)] for i in range(icg)]
-        return Cipher2d(evaluator.multiply_plain_contract(cts, pls))
+        return Cipher2d(evaluator.multiply_plain_contract(cts, pls, mesh=mesh))
 
     def conv2d_reverse(self, evaluator: Evaluator, a: Plain2d, w: Cipher2d) -> Cipher2d:
         total = self.get_total_batch_size()

@@ -178,17 +178,21 @@ class MatmulHelper:
     # ------------------------------------------------------------------
     # multiplication (ref: matmul.cu:326 matmul / matmul_cipher / _reverse)
     # ------------------------------------------------------------------
-    def matmul(self, evaluator: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
+    def matmul(self, evaluator: Evaluator, a: Cipher2d, w: Plain2d,
+               mesh=None) -> Cipher2d:
         """One fused kernel for the whole block contraction: every input
         block is NTT'd once and all multiply-accumulates run as a single
         batched pass (ref: matmul.cu:326 matmul over batched
-        multiply_plain_accumulate kernels)."""
+        multiply_plain_accumulate kernels).  mesh: optional ('data', 'limb')
+        jax.sharding.Mesh — the multi-device matmul of the reference's
+        scripts/test_matmul.sh --multiple-devices, with block rows sharded
+        over 'data' and RNS limbs over 'limb'."""
         bs = ceil_div(self.batch_size, self.batch_block)
         os_ = ceil_div(self.output_dims, self.output_block)
         is_ = ceil_div(self.input_dims, self.input_block)
         cts = [[a[b][i] for i in range(is_)] for b in range(bs)]
         pls = [[w[i][j] for j in range(os_)] for i in range(is_)]
-        return Cipher2d(evaluator.multiply_plain_contract(cts, pls))
+        return Cipher2d(evaluator.multiply_plain_contract(cts, pls, mesh=mesh))
 
     def matmul_fly(self, evaluator: Evaluator, adapter, a: Cipher2d,
                    weights) -> Cipher2d:
@@ -284,8 +288,10 @@ class MatmulHelper:
         return Plain2d([[adapter.encode_for_cipher(b) for b in bufs]])
 
     def pack_outputs(self, evaluator: Evaluator, auto_keys: GaloisKeys,
-                     cipher: Cipher2d) -> Cipher2d:
-        """Compress output tiles ~input_block x (ref: matmul.cu pack_outputs)."""
+                     cipher: Cipher2d, mesh=None) -> Cipher2d:
+        """Compress output tiles ~input_block x (ref: matmul.cu pack_outputs).
+        mesh: optional ('data', 'limb') Mesh — pack groups shard over 'data',
+        limbs over 'limb'."""
         if not self.pack_lwe:
             raise ValueError("[MatmulHelper.pack_outputs] pack_lwe disabled")
         ib = self.input_block
@@ -294,7 +300,7 @@ class MatmulHelper:
         flat = [c for row in cipher.data for c in row]
         groups = [flat[i : i + ib] for i in range(0, len(flat), ib)]
         out = evaluator.pack_rlwe_ciphertexts_batched(
-            groups, auto_keys, inherent_shift, ib, 1)
+            groups, auto_keys, inherent_shift, ib, 1, mesh=mesh)
         return Cipher2d([out])
 
     # ------------------------------------------------------------------

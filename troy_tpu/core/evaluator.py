@@ -861,14 +861,20 @@ class Evaluator(LweOpsMixin):
         return out
 
     def multiply_plain_contract(self, cts: list[list[Ciphertext]],
-                                plains: list[list[Plaintext]]
-                                ) -> list[list[Ciphertext]]:
+                                plains: list[list[Plaintext]],
+                                mesh=None) -> list[list[Ciphertext]]:
         """out[b][j] = sum_i cts[b][i] * plains[i][j] — the BumbleBee matmul
         inner contraction fused into ONE jitted kernel: every input block is
         NTT'd once (not once per output block), every product-accumulate is
         a single batched elementwise pass (ref: the batched matmul inner loop,
         src/evaluator_multiply_plain.cu:356 multiply_plain_accumulate +
-        src/fgk/dyadic_convolute.cu dyadic_broadcast_product_accumulate)."""
+        src/fgk/dyadic_convolute.cu dyadic_broadcast_product_accumulate).
+
+        mesh: optional jax.sharding.Mesh with ('data', 'limb') axes (the
+        reference's --multiple-devices matmul, scripts/test_matmul.sh): the
+        ciphertext-block axis shards over 'data' and the RNS limb axis over
+        'limb'; GSPMD partitions the same fused kernel and inserts the limb
+        collectives (tests/parallel/test_app_mesh.py)."""
         bs, is_ = len(cts), len(cts[0])
         os_ = len(plains[0])
         if len(plains) != is_:
@@ -894,6 +900,20 @@ class Evaluator(LweOpsMixin):
                                      "plaintexts must be uniform")
         A = jnp.stack([jnp.stack([ct.data for ct in row]) for row in cts])
         W_raw = jnp.stack([jnp.stack([p.data for p in row]) for row in plains])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+            # shard block rows over 'data' and RNS limbs over 'limb', each
+            # only when the dimension divides (a 1-block grid replicates)
+            dax = ("data" if A.shape[0] % mesh.shape["data"] == 0 else None)
+            lax_ = ("limb" if A.shape[-2] % mesh.shape["limb"] == 0 else None)
+            # a non-RNS plaintext (BFV mod-t plane) has no limb axis to shard
+            wlax = ("limb" if W_raw.shape[-2] % mesh.shape["limb"] == 0
+                    else None)
+            A = jax.device_put(A, NamedSharding(mesh, PSpec(
+                *([dax] + [None] * (A.ndim - 3) + [lax_, None]))))
+            W_raw = jax.device_put(W_raw, NamedSharding(mesh, PSpec(
+                *([None] * (W_raw.ndim - 2) + [wlax, None]))))
         qtab = cd.qtab()  # materialize before tracing
         if not cd.wide:
             cd.base_q.pack()  # BFVScaler._qtabs shares this lazy pack

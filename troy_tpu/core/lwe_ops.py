@@ -232,6 +232,7 @@ class LweOpsMixin:
         input_interval: int,
         output_interval: int,
         apply_field_trace: bool = True,
+        mesh=None,
     ) -> list[Ciphertext]:
         """Pack G groups simultaneously: the identical merge tree runs ONCE
         on group-stacked arrays — the batch axis is inserted after the poly
@@ -239,7 +240,11 @@ class LweOpsMixin:
         keyswitch dispatches one batched kernel for all groups
         (ref: evaluator_lwes.cu:493 pack_lwe_ciphertexts_batched, applied at
         the RLWE layer).  Missing slots (None / ragged groups) are packed as
-        zero ciphertexts — identical results, uniform tree."""
+        zero ciphertexts — identical results, uniform tree.
+
+        mesh: optional ('data', 'limb') Mesh — the group axis shards over
+        'data' and the limb axis over 'limb' (the multi-device half of the
+        reference's --multiple-devices matmul bench)."""
         if not groups:
             raise ValueError("[Evaluator.pack_rlwe_ciphertexts_batched] empty")
         if len(groups) == 1:
@@ -260,11 +265,24 @@ class LweOpsMixin:
         mlen = max(len(g) for g in groups)
         zero = jnp.zeros_like(proto.data)
         positions: list[Ciphertext] = []
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+            ndim = proto.data.ndim + 1               # (2, G, [2,]L, n)
+            dax = "data" if G % mesh.shape["data"] == 0 else None
+            L_ = proto.data.shape[-2]
+            lax_ = "limb" if L_ % mesh.shape["limb"] == 0 else None
+            gspec = NamedSharding(mesh, PSpec(
+                *([None, dax] + [None] * (ndim - 4) + [lax_, None])))
         for k in range(mlen):
             datas = [g[k].data if k < len(g) and g[k] is not None else zero
                      for g in groups]
             v = proto.clone()
             v.data = jnp.stack(datas, axis=1)        # (2, G, [2,]L, n)
+            if mesh is not None:
+                import jax
+
+                v.data = jax.device_put(v.data, gspec)
             v.seed = None
             positions.append(v)
         packed = self.pack_rlwe_ciphertexts(
