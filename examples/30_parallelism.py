@@ -79,3 +79,29 @@ if jax.device_count() >= 4:
     dec = encoder.decode(decryptor.decrypt(batched.unstack(out, cts[0])[0]))
     assert (dec == ms[0] * ms[0] % t).all()
     print("multihost batch-parallel squaring OK")
+
+# -- app layer under the mesh -------------------------------------------------
+# The reference benches matmul with --multiple-devices
+# (scripts/test_matmul.sh); here the SAME MatmulHelper call takes a mesh and
+# GSPMD partitions the fused block contraction + pack_outputs keyswitch tree.
+if jax.device_count() >= 4:
+    from troy_tpu.app.matmul import MatmulHelper, MatmulObjective
+    from troy_tpu.app.encoder_adapter import BatchEncoderAdapter
+
+    adapter = BatchEncoderAdapter(encoder)
+    helper = MatmulHelper(8, 5, 6, n, MatmulObjective.EncryptLeft,
+                          pack_lwe=True)
+    # pin a 4-row block grid so the 'data' axis has something to shard
+    helper.batch_block, helper.input_block, helper.output_block = 2, 2, 4
+    x = rng.integers(0, t, (8, 5), dtype=np.uint64)
+    w = rng.integers(0, t, (5, 6), dtype=np.uint64)
+    amesh = M.make_mesh(data=4, limb=1)
+    enc_sym = Encryptor(context, sk=keygen.secret_key)  # seed-compressible cts
+    y = helper.matmul(evaluator, helper.encrypt_inputs(enc_sym, adapter, x),
+                      helper.encode_weights(adapter, w), mesh=amesh)
+    y = helper.pack_outputs(evaluator, keygen.create_automorphism_keys(), y,
+                            mesh=amesh)
+    got = helper.decrypt_outputs(adapter, decryptor, y)
+    assert (got.astype(object) % t
+            == x.astype(object) @ w.astype(object) % t).all()
+    print("multi-device BumbleBee matmul (contraction + pack) OK")
