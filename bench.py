@@ -219,24 +219,39 @@ def main():
         d1 = jnp.asarray(np.broadcast_to(cts[0][None], (BATCH,) + cts[0].shape))
         d2 = jnp.asarray(np.broadcast_to(cts[1][None], (BATCH,) + cts[1].shape))
         keys = jnp.asarray(keys_np)
-        if OP == "rotate":
-            # galois (rotate_rows by 1) as a pure batched step: permutation
-            # gather + keyswitch (ref: evaluator_keyswitching.cu:263)
+        if OP in ("rotate", "rotate_columns"):
+            # galois rotation as a pure batched step: permutation gather +
+            # keyswitch per NAF component (ref: evaluator_keyswitching.cu:263,
+            # NAF multi-step at :276-292).  TROY_BENCH_ROT_STEP=k benches
+            # rotate_rows(k) — non-power-of-2 k costs len(naf(k)) rounds;
+            # rotate_columns is the conjugation element (one round).
             from troy_tpu.ops.galois import GaloisTool
             from troy_tpu.ops import ntt as NTT, poly as PP, u32 as UU
+            from troy_tpu.utils import numth
 
             tool = GaloisTool.for_context(cd)
-            elt = GaloisTool.get_element_from_step(1, N)
-            tool._coeff_tables[elt] = tool._build_coeff(elt)
+            if OP == "rotate_columns":
+                elts = [GaloisTool.conjugate_element(N)]
+            else:
+                rot = int(os.environ.get("TROY_BENCH_ROT_STEP", "1"))
+                comps = [rot] if rot and rot & (rot - 1) == 0 \
+                    else [s for s in numth.naf(rot) if s]
+                elts = [GaloisTool.get_element_from_step(s, N) for s in comps]
+                _log(f"rotate({rot}) = {len(elts)} galois round(s)")
+            for elt in elts:
+                tool._coeff_tables[elt] = tool._build_coeff(elt)
             evaluator._switch_tables(cd)
             qtab = cd.qtab()
 
             def step(d, _unused, k):
-                c0g = tool.apply_coeff(d[:, 0], elt, qtab)
-                tgt = tool.apply_coeff(d[:, 1], elt, qtab)
-                sw = evaluator._switch_key_impl(cd, tgt, k, out_ntt=False)
-                c0 = UU.add_mod(sw[:, 0], c0g, qtab["q"][:, None])
-                return jnp.stack([c0, sw[:, 1]], axis=1)
+                cur = d
+                for elt in elts:
+                    c0g = tool.apply_coeff(cur[:, 0], elt, qtab)
+                    tgt = tool.apply_coeff(cur[:, 1], elt, qtab)
+                    sw = evaluator._switch_key_impl(cd, tgt, k, out_ntt=False)
+                    c0 = UU.add_mod(sw[:, 0], c0g, qtab["q"][:, None])
+                    cur = jnp.stack([c0, sw[:, 1]], axis=1)
+                return cur
         else:
             step = batched.build_mul_relin_step(keys)
 
@@ -308,8 +323,11 @@ def main():
     _log(f"{dt*1e3:.3f} ms per batched step "
          f"(slope over {REPS}-{reps_lo} reps; constant "
          f"{(t_lo - reps_lo * dt)*1e3:.1f} ms excluded)")
+    op_tag = OP
+    if OP == "rotate" and os.environ.get("TROY_BENCH_ROT_STEP", "1") != "1":
+        op_tag = f"rotate{os.environ['TROY_BENCH_ROT_STEP']}"
     print(json.dumps({
-        "metric": (f"{SCHEME.lower()}_n{N}_{OP}"
+        "metric": (f"{SCHEME.lower()}_n{N}_{op_tag}"
                    + ("_wide" if max(QBITS) > 30 else "")
                    + "_ops_per_sec"),
         "value": round(ops_per_sec, 2),

@@ -16,11 +16,15 @@ run TROY_NTT_BACKEND=pallas_mxu
 run TROY_BENCH_SCHEME=CKKS
 run TROY_BENCH_N=16384 TROY_BENCH_LIMBS=8 TROY_BENCH_BATCH=8
 run TROY_BENCH_SCHEME=CKKS TROY_BENCH_N=16384 TROY_BENCH_LIMBS=8 TROY_BENCH_BATCH=8
-# rotation
+# rotation sweep (rows 1 / NAF multi-step / columns; BGV rows)
 run TROY_BENCH_OP=rotate
+run TROY_BENCH_OP=rotate TROY_BENCH_ROT_STEP=5
+run TROY_BENCH_OP=rotate TROY_BENCH_ROT_STEP=123
+run TROY_BENCH_OP=rotate_columns
+run TROY_BENCH_SCHEME=BGV
 # wide (reference-default params {60,40,40,60})
 run TROY_BENCH_QBITS=60,40,40,60 TROY_BENCH_LIMBS=4
 run TROY_BENCH_SCHEME=CKKS TROY_BENCH_QBITS=60,40,40,60 TROY_BENCH_LIMBS=4
 # NTT latency + app-layer wall time
 timeout 900 python scripts/ntt_bench.py || echo "FAILED: ntt_bench" >&2
-timeout 900 python scripts/matmul_bench.py || echo "FAILED: matmul_bench" >&2
+bash scripts/app_bench_sweep.sh /tmp/app_bench_sweep.log || echo "FAILED: app_bench_sweep" >&2
