@@ -143,9 +143,14 @@ class NTTTables:
         negacyclic NTT with root psi^n2 along the matrix row axis, a twiddle
         (with the second-stage twist pre-cancelled), and a size-n2 negacyclic
         NTT with root psi^n1 along the column axis (after a transpose)."""
+        import os as _os
+
         log_n = self.log_n
         n = self.n
-        a = log_n // 2
+        # TROY_NTT_SPLIT_A = log2(n1) overrides the square-ish default
+        # (tuning knob: at n=16384 the (128,128) default vs (64,256) etc.)
+        a = int(_os.environ.get("TROY_NTT_SPLIT_A", log_n // 2))
+        a = max(1, min(log_n - 1, a))
         b = log_n - a
         n1, n2 = 1 << a, 1 << b
         L = len(self.moduli)
@@ -195,6 +200,7 @@ class NTTTables:
         out["ss_T_shoup"] = jnp.asarray(T_sh)
         out["ss_Ti"] = jnp.asarray(Ti)
         out["ss_Ti_shoup"] = jnp.asarray(Ti_sh)
+        out["ss_log_n1"] = a          # static under pack_jit (non-array)
         return out
 
     @property
@@ -308,7 +314,7 @@ def ntt_forward_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     path; every butterfly stage runs with a full 128-lane last axis."""
     n = x.shape[-1]
     log_n = n.bit_length() - 1
-    n1 = 1 << (log_n // 2)
+    n1 = 1 << t.get("ss_log_n1", log_n // 2)
     n2 = n // n1
     lead = x.shape[:-1]
     q = t["q"]
@@ -325,7 +331,7 @@ def ntt_forward_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
 def ntt_inverse_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     n = x.shape[-1]
     log_n = n.bit_length() - 1
-    n1 = 1 << (log_n // 2)
+    n1 = 1 << t.get("ss_log_n1", log_n // 2)
     n2 = n // n1
     lead = x.shape[:-1]
     q = t["q"]
