@@ -118,14 +118,42 @@ def flow_ckks_device_roundtrip():
     return np.asarray([err])
 
 
+def flow_ckks_device_fresh():
+    """Round-3 gate-lift paths: margin-free device decode of a FRESH
+    plaintext (fixed-point fractional CRT, wide L=3, K from the 95-bit
+    margin) and the multi-word (W=3) device encode tier at
+    scale*max|v| ~ 2^50."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tests.core.fixtures import GeneralHeContext
+
+    g = GeneralHeContext("CKKS", N, q_bits=(50, 40, 40), seed=0xFACE,
+                         scale=2.0 ** 35)
+    rng = np.random.default_rng(81)
+    v = rng.uniform(-1, 1, g.encoder.slot_count) \
+        + 1j * rng.uniform(-1, 1, g.encoder.slot_count)
+    pt = g.encoder.encode(v, scale=g.scale)
+    err = float(np.max(np.abs(g.encoder.decode_device(pt)
+                              - g.encoder.decode(pt))))
+    assert err < 1e-9, f"fresh-ct device decode err {err}"
+
+    g2 = GeneralHeContext("CKKS", N, q_bits=(60, 60, 60), seed=0xFACE,
+                          scale=2.0 ** 40)
+    v2 = rng.uniform(-1000.0, 1000.0, g2.encoder.slot_count)
+    back = g2.encoder.decode(g2.encoder.encode_device(v2, scale=2.0 ** 40))
+    err2 = float(np.max(np.abs(back - v2)))
+    assert err2 < 1e-6, f"multi-word device encode err {err2}"
+    return np.asarray([err, err2])
+
+
 CASES = {
     **{f"mul_relin_{b}": (flow_mul_relin, b) for b in BACKENDS},
     "mul_relin_wide": (lambda: flow_mul_relin(wide=True), "sixstep"),
     "rotate": (flow_rotate, "sixstep"),
     "matmul": (flow_matmul, "sixstep"),
     "ckks_device_roundtrip": (flow_ckks_device_roundtrip, "sixstep"),
+    "ckks_device_fresh": (flow_ckks_device_fresh, "sixstep"),
 }
-FLOAT_CASES = {"ckks_device_roundtrip"}  # tolerance, not bit-exact
+FLOAT_CASES = {"ckks_device_roundtrip", "ckks_device_fresh"}  # tolerance
 
 
 def _expected_path(case: str) -> str:
