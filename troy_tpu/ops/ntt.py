@@ -163,6 +163,8 @@ class NTTTables:
         Ti = np.zeros((L, n1, n2), dtype=np.uint32)
         T_sh = np.zeros((L, n1, n2), dtype=np.uint32)
         Ti_sh = np.zeros((L, n1, n2), dtype=np.uint32)
+        Tif = np.zeros((L, n1, n2), dtype=np.uint32)
+        Tif_sh = np.zeros((L, n1, n2), dtype=np.uint32)
         for l, mod in enumerate(self.moduli):
             q = mod.value
             psi = numth.try_minimal_primitive_root(2 * n, q)
@@ -170,6 +172,7 @@ class NTTTables:
             psi2 = pow(psi, n1, q)
             rows1.append(self._rows(a, mod, psi1))
             rows2.append(self._rows(b, mod, psi2))
+            n_inv_full = numth.invert_mod(n, q)  # = n1^-1 * n2^-1 mod q
             # T'[k1', i2] = psi^i2 * w^(i2*brv_a(k1')) * psi^(-n1*i2),
             # w = psi^2  (stage-2 twist of the 4-step, minus the negacyclic
             # twist that the second sub-NTT will re-apply)
@@ -184,9 +187,15 @@ class NTTTables:
                 for i2 in range(n2):
                     tv = base_row[i2] * v % q
                     T[l, k1p, i2] = tv
-                    Ti[l, k1p, i2] = numth.invert_mod(tv, q)
+                    tvi = numth.invert_mod(tv, q)
+                    Ti[l, k1p, i2] = tvi
                     T_sh[l, k1p, i2] = (tv << 32) // q
-                    Ti_sh[l, k1p, i2] = (int(Ti[l, k1p, i2]) << 32) // q
+                    Ti_sh[l, k1p, i2] = (tvi << 32) // q
+                    # inverse twiddle with both sub-INTT n^-1 scalings folded
+                    # in: removes two full-array Shoup passes per INTT.
+                    tvif = tvi * n_inv_full % q
+                    Tif[l, k1p, i2] = tvif
+                    Tif_sh[l, k1p, i2] = (tvif << 32) // q
                     v = v * step % q
         out = {}
         for key in ("psi_br", "psi_br_shoup", "inv_psi_br", "inv_psi_br_shoup"):
@@ -200,6 +209,8 @@ class NTTTables:
         out["ss_T_shoup"] = jnp.asarray(T_sh)
         out["ss_Ti"] = jnp.asarray(Ti)
         out["ss_Ti_shoup"] = jnp.asarray(Ti_sh)
+        out["ss_Tif"] = jnp.asarray(Tif)
+        out["ss_Tif_shoup"] = jnp.asarray(Tif_sh)
         out["ss_log_n1"] = a          # static under pack_jit (non-array)
         return out
 
@@ -261,9 +272,15 @@ def take_tables(t: dict, idx) -> dict:
             for k, v in t.items()}
 
 
-def _axis2_butterflies_forward(x, psi_br, psi_br_shoup, q):
+def _axis2_butterflies_forward(x, psi_br, psi_br_shoup, q, lazy_out=False):
     """CT butterflies pairing along axis -2 of (..., L, N, M); the last axis
-    M rides the 128-lane dimension at full utilization in every stage."""
+    M rides the 128-lane dimension at full utilization in every stage.
+
+    Harvey-lazy: stage outputs live in [0, 4q) (4q < 2^32 by the fast-path
+    modulus bound); only the u input of each butterfly is conditionally
+    subtracted, halving the compare/select traffic vs reducing both outputs.
+    Accepts input in [0, 4q).  Returns [0, q), or [0, 2q) when lazy_out.
+    """
     N, M = x.shape[-2], x.shape[-1]
     lead = x.shape[:-3]
     L = x.shape[-3]
@@ -272,21 +289,27 @@ def _axis2_butterflies_forward(x, psi_br, psi_br_shoup, q):
     m, tt = 1, N // 2
     while m < N:
         xr = x.reshape(lead + (L, m, 2, tt, M))
-        u = xr[..., 0, :, :]
-        v = xr[..., 1, :, :]
+        u = U.cond_sub(xr[..., 0, :, :], two_q)      # [0, 4q) -> [0, 2q)
+        v = xr[..., 1, :, :]                          # [0, 4q): any u32 is ok
         w = jax.lax.slice_in_dim(psi_br, m, 2 * m, axis=1)[:, :, None, None]
         ws = jax.lax.slice_in_dim(psi_br_shoup, m, 2 * m, axis=1)[:, :, None, None]
-        tv = U.shoup_mul_lazy(v, w, ws, qb)
-        x0 = U.cond_sub(u + tv, two_q)
-        x1 = U.cond_sub(u + two_q - tv, two_q)
+        tv = U.shoup_mul_lazy(v, w, ws, qb)           # [0, 2q)
+        x0 = u + tv                                   # [0, 4q)
+        x1 = u + two_q - tv                           # [0, 4q)
         x = safe_stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
         m *= 2
         tt //= 2
+    x = U.cond_sub(x, two_q.reshape((1,) * len(lead) + (L, 1, 1)))
+    if lazy_out:
+        return x
     return U.cond_sub(x, q.reshape((1,) * len(lead) + (L, 1, 1)))
 
 
 def _axis2_butterflies_inverse(x, inv_psi_br, inv_psi_br_shoup, n_inv,
-                               n_inv_shoup, q):
+                               n_inv_shoup, q, skip_scale=False):
+    """GS inverse butterflies; values stay in [0, 2q).  With skip_scale the
+    final n^-1 Shoup pass is omitted (the caller folds it into a downstream
+    twiddle table) and the lazy [0, 2q) result is returned."""
     N, M = x.shape[-2], x.shape[-1]
     lead = x.shape[:-3]
     L = x.shape[-3]
@@ -304,6 +327,8 @@ def _axis2_butterflies_inverse(x, inv_psi_br, inv_psi_br_shoup, n_inv,
         x = safe_stack([x0, x1], axis=-3).reshape(lead + (L, N, M))
         m //= 2
         tt *= 2
+    if skip_scale:
+        return x
     qf = q.reshape((1,) * len(lead) + (L, 1, 1))
     return U.shoup_mul(x, n_inv[:, None, None], n_inv_shoup[:, None, None], qf)
 
@@ -319,9 +344,10 @@ def ntt_forward_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     lead = x.shape[:-1]
     q = t["q"]
     X = x.reshape(lead + (n1, n2))
-    X = _axis2_butterflies_forward(X, t["ss1_psi_br"], t["ss1_psi_br_shoup"], q)
+    X = _axis2_butterflies_forward(X, t["ss1_psi_br"], t["ss1_psi_br_shoup"], q,
+                                   lazy_out=True)
     qb = q[:, None, None]
-    X = U.shoup_mul(X, t["ss_T"], t["ss_T_shoup"], qb)
+    X = U.shoup_mul_lazy(X, t["ss_T"], t["ss_T_shoup"], qb)   # [0, 2q)
     X = jnp.swapaxes(X, -1, -2)
     X = _axis2_butterflies_forward(X, t["ss2_psi_br"], t["ss2_psi_br_shoup"], q)
     X = jnp.swapaxes(X, -1, -2)
@@ -338,12 +364,17 @@ def ntt_inverse_sixstep(x: jnp.ndarray, t: dict) -> jnp.ndarray:
     X = x.reshape(lead + (n1, n2))
     X = jnp.swapaxes(X, -1, -2)
     X = _axis2_butterflies_inverse(X, t["ss2_inv_psi_br"], t["ss2_inv_psi_br_shoup"],
-                                   t["ss2_n_inv"], t["ss2_n_inv_shoup"], q)
+                                   t["ss2_n_inv"], t["ss2_n_inv_shoup"], q,
+                                   skip_scale=True)
     X = jnp.swapaxes(X, -1, -2)
     qb = q[:, None, None]
-    X = U.shoup_mul(X, t["ss_Ti"], t["ss_Ti_shoup"], qb)
+    # folded twiddle carries n^-1 = n1^-1 * n2^-1: both sub-INTT scaling
+    # passes collapse into this one multiply (lazy: [0, 2q) out).
+    X = U.shoup_mul_lazy(X, t["ss_Tif"], t["ss_Tif_shoup"], qb)
     X = _axis2_butterflies_inverse(X, t["ss1_inv_psi_br"], t["ss1_inv_psi_br_shoup"],
-                                   t["ss1_n_inv"], t["ss1_n_inv_shoup"], q)
+                                   t["ss1_n_inv"], t["ss1_n_inv_shoup"], q,
+                                   skip_scale=True)
+    X = U.cond_sub(X, q[:, None, None])
     return X.reshape(lead + (n,))
 
 
