@@ -220,38 +220,21 @@ def main():
         d2 = jnp.asarray(np.broadcast_to(cts[1][None], (BATCH,) + cts[1].shape))
         keys = jnp.asarray(keys_np)
         if OP in ("rotate", "rotate_columns"):
-            # galois rotation as a pure batched step: permutation gather +
-            # keyswitch per NAF component (ref: evaluator_keyswitching.cu:263,
-            # NAF multi-step at :276-292).  TROY_BENCH_ROT_STEP=k benches
-            # rotate_rows(k) — non-power-of-2 k costs len(naf(k)) rounds;
-            # rotate_columns is the conjugation element (one round).
-            from troy_tpu.ops.galois import GaloisTool
-            from troy_tpu.ops import ntt as NTT, poly as PP, u32 as UU
-            from troy_tpu.utils import numth
-
-            tool = GaloisTool.for_context(cd)
+            # galois rotation via the prebuilt batched step (permutation
+            # gather + keyswitch per NAF component, ref:
+            # evaluator_keyswitching.cu:263-292).  TROY_BENCH_ROT_STEP=k
+            # benches rotate_rows(k); rotate_columns is the conjugation
+            # element (one round).  Timing-only: the cached rlk key stands
+            # in for per-element galois keys (identical kernel shape).
             if OP == "rotate_columns":
-                elts = [GaloisTool.conjugate_element(N)]
+                gstep, elts = batched.build_rotate_columns_step()
             else:
                 rot = int(os.environ.get("TROY_BENCH_ROT_STEP", "1"))
-                comps = [rot] if rot and rot & (rot - 1) == 0 \
-                    else [s for s in numth.naf(rot) if s]
-                elts = [GaloisTool.get_element_from_step(s, N) for s in comps]
+                gstep, elts = batched.build_rotate_rows_step(rot)
                 _log(f"rotate({rot}) = {len(elts)} galois round(s)")
-            for elt in elts:
-                tool._coeff_tables[elt] = tool._build_coeff(elt)
-            evaluator._switch_tables(cd)
-            qtab = cd.qtab()
 
             def step(d, _unused, k):
-                cur = d
-                for elt in elts:
-                    c0g = tool.apply_coeff(cur[:, 0], elt, qtab)
-                    tgt = tool.apply_coeff(cur[:, 1], elt, qtab)
-                    sw = evaluator._switch_key_impl(cd, tgt, k, out_ntt=False)
-                    c0 = UU.add_mod(sw[:, 0], c0g, qtab["q"][:, None])
-                    cur = jnp.stack([c0, sw[:, 1]], axis=1)
-                return cur
+                return gstep(d, (k,) * len(elts))
         else:
             step = batched.build_mul_relin_step(keys)
 

@@ -179,3 +179,70 @@ def test_mod_switch_drop_to_rejects_upward():
     import pytest
     with pytest.raises(ValueError):
         h.evaluator.mod_switch_drop_to(low, ct.parms_id)
+
+
+def test_step_builders_match_object_api():
+    """The prebuilt raw-array steps (build_rotate_rows/columns_step,
+    build_square_relin_step, build_rescale_step, build_mod_switch_step) are
+    bit-identical to the object API they fuse (round-4 uniform bench/mesh
+    surface; ref: reference `_batched` families, src/evaluator.h)."""
+    import jax
+    from troy_tpu.parallel.batched import BatchedEvaluator
+
+    h = make()
+    cd = h.context.first_context_data()
+    be = BatchedEvaluator(h.evaluator, cd)
+    glk = h.keygen.create_galois_keys()
+    rlk = h.keygen.create_relin_keys()
+    ms = [h.random_simd(RNG) for _ in range(B)]
+    cts = [h.encrypt(m) for m in ms]
+    stacked = be.stack(cts)
+
+    # rotate_rows(3) — NAF multi-round (elements {4, -1})
+    step, elts = be.build_rotate_rows_step(3)
+    keys = tuple(glk.key(e) for e in elts)
+    got = jax.jit(step)(stacked, keys)
+    for i, ct in enumerate(cts):
+        want = h.evaluator.rotate_rows(ct, 3, glk)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want.data))
+
+    # rotate_columns (conjugation element)
+    step, elts = be.build_rotate_columns_step()
+    keys = tuple(glk.key(e) for e in elts)
+    got = jax.jit(step)(stacked, keys)
+    for i, ct in enumerate(cts):
+        want = h.evaluator.rotate_columns(ct, glk)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want.data))
+
+    # square + relinearize
+    kk = rlk.key(2)
+    step = be.build_square_relin_step(kk)
+    got = jax.jit(step)(stacked, kk)
+    for i, ct in enumerate(cts):
+        want = h.evaluator.relinearize(h.evaluator.square(ct), rlk)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want.data))
+
+    # BFV mod switch to next level
+    step = be.build_mod_switch_step()
+    got = jax.jit(step)(stacked)
+    for i, ct in enumerate(cts):
+        want = h.evaluator.mod_switch_to_next(ct)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want.data))
+
+
+def test_rescale_step_matches_object_api():
+    import jax
+    from troy_tpu.parallel.batched import BatchedEvaluator
+
+    h = GeneralHeContext("CKKS", 32, q_bits=(30, 30, 30), scale=2.0 ** 25)
+    cd = h.context.first_context_data()
+    be = BatchedEvaluator(h.evaluator, cd)
+    n2 = h.encoder.slot_count
+    vs = [RNG.uniform(-1, 1, n2) for _ in range(B)]
+    cts = [h.encrypt(v) for v in vs]
+    prods = [h.evaluator.multiply(c, c) for c in cts]
+    step = be.build_rescale_step()
+    got = jax.jit(step)(be.stack(prods))
+    for i, p in enumerate(prods):
+        want = h.evaluator.rescale_to_next(p)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want.data))

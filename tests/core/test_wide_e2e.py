@@ -224,3 +224,34 @@ def test_stacked_mul_relin_step(scheme):
             h.evaluator.multiply(cts1[i], cts2[i]), h._rlk)
         np.testing.assert_array_equal(np.asarray(out[i]),
                                       np.asarray(want.data))
+
+
+def test_sixstep_e2e_n512():
+    """Full BFV pipeline at wide width with n >= 256, where NTT64Tables
+    packs include the six-step tables (the small-n suites above all run the
+    radix-2 schedule): encrypt -> multiply -> relinearize -> decrypt must be
+    exact, and the ciphertext must be bit-identical to a radix-2 run."""
+    from troy_tpu.ops import ntt as NTTMOD
+
+    h = GeneralHeContext("BFV", 512, log_t=20, q_bits=Q_BITS)
+    rlk = h.keygen.create_relin_keys()
+    v1, v2 = h.random_simd(RNG), h.random_simd(RNG)
+    ct1, ct2 = h.encrypt(v1), h.encrypt(v2)
+    out = h.evaluator.relinearize(h.evaluator.multiply(ct1, ct2), rlk)
+    want = np.mod(v1.astype(object) * v2.astype(object), h.t)
+    np.testing.assert_array_equal(
+        np.asarray(h.decrypt(out), dtype=np.uint64),
+        want.astype(np.uint64))
+
+    # same operation through a radix-2 context is bit-identical
+    prev = NTTMOD.get_ntt_backend()
+    NTTMOD.set_ntt_backend("radix2")
+    try:
+        h2 = GeneralHeContext("BFV", 512, log_t=20, q_bits=Q_BITS)
+        rlk2 = h2.keygen.create_relin_keys()
+        c1, c2 = h2.encrypt(v1), h2.encrypt(v2)
+        out2 = h2.evaluator.relinearize(h2.evaluator.multiply(c1, c2), rlk2)
+        np.testing.assert_array_equal(np.asarray(out.data),
+                                      np.asarray(out2.data))
+    finally:
+        NTTMOD.set_ntt_backend(prev)

@@ -18,7 +18,7 @@ def test_fused_matches_unfused():
     mods = [Modulus(p) for p in numth.get_primes(2 * n, 30, L)]
     tabs = NTTMOD.NTTTables(log_n, mods)
     pack = dict(tabs.pack())
-    if "ss_T" not in pack:
+    if "ss_Ti" not in pack:  # default pack omits the pallas-only Ti tables
         pack.update(tabs._sixstep_pack())
     q = np.array([m.value for m in mods], dtype=np.uint32)
     a = jnp.asarray(RNG.integers(0, 1 << 30, size=(2, 2, L, n)).astype(np.uint32)

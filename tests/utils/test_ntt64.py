@@ -81,6 +81,42 @@ def test_negacyclic_convolution():
         np.testing.assert_array_equal(got[k], np.array(want, dtype=np.uint64))
 
 
+def test_sixstep_matches_radix2():
+    """The wide six-step schedule is bit-identical to the radix-2 oracle
+    (same contract as the u32 backends, tests/utils/test_ntt_mxu.py)."""
+    log_n = 9  # >= _MXU_MIN_LOG_N so pack() includes the sixstep tables
+    t, primes = make(log_n, bits=(60, 41))
+    pack = dict(t.pack())
+    if "ss_T_hi" not in pack:
+        pack.update(t._sixstep_pack())
+    radix2 = {k: v for k, v in pack.items() if not k.startswith("ss")}
+
+    hi, lo, _ = rand_poly(primes, t.n)
+    f_ss = N64.ntt_forward64(hi, lo, pack)
+    f_r2 = N64.ntt_forward64(hi, lo, radix2)
+    np.testing.assert_array_equal(np.asarray(f_ss[0]), np.asarray(f_r2[0]))
+    np.testing.assert_array_equal(np.asarray(f_ss[1]), np.asarray(f_r2[1]))
+
+    b_ss = N64.ntt_inverse64(*f_ss, pack)
+    b_r2 = N64.ntt_inverse64(*f_r2, radix2)
+    np.testing.assert_array_equal(np.asarray(b_ss[0]), np.asarray(b_r2[0]))
+    np.testing.assert_array_equal(np.asarray(b_ss[1]), np.asarray(b_r2[1]))
+
+
+def test_sixstep_split_knob_roundtrip(monkeypatch):
+    """Non-square TROY_NTT_SPLIT_A splits stay bit-exact (wide width)."""
+    monkeypatch.setenv("TROY_NTT_SPLIT_A", "3")
+    t, primes = make(8, bits=(55,))
+    pack = dict(t.pack())
+    pack.update(t._sixstep_pack())
+    assert pack["ss_log_n1"] == 3
+    hi, lo, vals = rand_poly(primes, t.n)
+    f = N64.ntt_forward64(hi, lo, pack)
+    b_hi, b_lo = N64.ntt_inverse64(*f, pack)
+    np.testing.assert_array_equal(
+        W.unpack64(np.asarray(b_hi), np.asarray(b_lo)), vals)
+
+
 def test_batched_leading_axes():
     """Pairs vectorize over arbitrary leading axes like the u32 path."""
     t, primes = make(4)

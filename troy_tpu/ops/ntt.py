@@ -14,9 +14,11 @@ Input is natural (coefficient) order; output is the standard "NTT order"
 NTT-domain order is only ever consumed by elementwise products and by
 precomputed Galois permutation tables, so no unscrambling is needed.
 
-Lazy-reduction invariant: all intermediate values stay in [0, 2q) via Shoup
-lazy multiplication (ops/u32.py); 4q < 2^32 is guaranteed by the fast-path
-modulus bound (core/modulus.py).  Outputs are fully reduced to [0, q).
+Lazy-reduction invariants: the radix-2 path keeps all intermediates in
+[0, 2q) via Shoup lazy multiplication (ops/u32.py); the six-step forward
+butterflies run Harvey-lazy with stage values in [0, 4q) (4q < 2^32 by the
+fast-path modulus bound, core/modulus.py).  Outputs are fully reduced to
+[0, q).
 
 Tables are built host-side with Python ints (NTTTables, mirroring
 reference NTTTables ntt.h:30) and shipped to device as a pytree dict.
@@ -129,6 +131,12 @@ class NTTTables:
                 self._device.update(self._sixstep_pack())
                 if _BACKEND == "pallas":
                     self._device["use_pallas"] = True
+                else:
+                    # ss_Ti is consumed only by the pallas inverse kernel and
+                    # fused_mul (which build their packs explicitly); the XLA
+                    # sixstep inverse uses the folded ss_Tif — skip the
+                    # 2x(L,n1,n2) upload on the default backend.
+                    del self._device["ss_Ti"], self._device["ss_Ti_shoup"]
             elif _BACKEND == "pallas_mxu" and self.log_n >= _MXU_MIN_LOG_N:
                 from .ntt_mxu import MxuNTTTables
 
@@ -237,11 +245,16 @@ _MXU_MIN_LOG_N = 8
 def set_ntt_backend(name: str):
     """'radix2' (reshape+VPU butterflies), 'mxu' (4-step matmul,
     ops/ntt_mxu.py) or 'sixstep' (lane-optimal radix-2 over a matrix view).
-    Affects table packs built afterwards."""
+    Affects table packs built afterwards (both widths: NTT64Tables packs
+    consult this too)."""
     global _BACKEND
     if name not in ("radix2", "mxu", "sixstep", "pallas", "pallas_mxu"):
         raise ValueError(f"[set_ntt_backend] unknown backend {name}")
     _BACKEND = name
+
+
+def get_ntt_backend() -> str:
+    return _BACKEND
 
 
 def slice_tables(t: dict, lo: int, hi: int) -> dict:
@@ -431,7 +444,7 @@ def ntt_inverse(x: jnp.ndarray, t: dict) -> jnp.ndarray:
         from .ntt_mxu import ntt_inverse_mxu
 
         return ntt_inverse_mxu(x, t, prefix="mxu_")
-    if "ss_Ti" in t:
+    if "ss_Tif" in t:
         if t.get("use_pallas") and jax.default_backend() != "cpu":
             from .ntt_pallas import ntt_inverse_pallas
 

@@ -88,6 +88,10 @@ def _fwd_kernel(q_ref, p1_ref, p1s_ref, t_ref, ts_ref, p2_ref, p2s_ref,
 
 def _inv_kernel(q_ref, p1_ref, p1s_ref, ni1_ref, ni1s_ref, t_ref, ts_ref,
                 p2_ref, p2s_ref, ni2_ref, ni2s_ref, x_ref, o_ref, *, n1, n2):
+    """NOTE: diverges in per-op work from the XLA sixstep inverse, which
+    folds both sub-INTT n^-1 scalings into the ss_Tif twiddle and skips the
+    two full Shoup scale passes this kernel still runs (it consumes the
+    unfolded ss_Ti + per-sub n_inv tables).  Outputs are bit-identical."""
     L = q_ref.shape[0]
     q3 = q_ref[...][:, :, None]
     two_q = q3 * U.U32(2)

@@ -19,6 +19,7 @@ from ..core.evaluator import Evaluator
 from ..core.ciphertext import Ciphertext
 from ..core.params import SchemeType
 from ..ops import rp as R
+from ..ops.jitu import safe_stack
 
 
 class BatchedEvaluator:
@@ -78,13 +79,129 @@ class BatchedEvaluator:
         return R.add(keep, sw, qtab)
 
     # -- fused step builders ------------------------------------------------
+    # Every builder returns a PURE jittable fn over raw stacked arrays; bench
+    # scripts (bench.py, scripts/app_bench.py) and the mesh tests import
+    # these instead of assembling ad-hoc closures (round-4 uniform surface;
+    # ref: the reference's `_batched` method family, src/evaluator.h).
+    def _ntt_form(self) -> bool:
+        return self.cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
+
     def build_mul_relin_step(self, rlk_key: jnp.ndarray):
         """Returns a pure fn (d1, d2, keys) -> (..., 2, L, n): the flagship
         multiply+relinearize benchmark step."""
-        ntt_form = self.cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
+        ntt_form = self._ntt_form()
 
         def step(d1, d2, keys):
             prod = self.multiply(d1, d2)
             return self.relinearize(prod, keys, ntt_form)
 
         return step
+
+    def build_square_relin_step(self, rlk_key: jnp.ndarray):
+        """(d, keys) -> (..., 2, L, n): homomorphic square + relinearize."""
+        ntt_form = self._ntt_form()
+
+        def step(d, keys):
+            return self.relinearize(self.multiply(d, None), keys, ntt_form)
+
+        return step
+
+    # -- galois rotations ----------------------------------------------------
+    def _galois_round(self, d, elt: int, key, ntt_form: bool, tool):
+        """One batched apply_galois + keyswitch round on raw arrays (the
+        batch-axis-aware mirror of Evaluator._apply_galois_impl)."""
+        qtab = self.cd.qtab()
+        pax = R.poly_axis(qtab)
+        c0 = jnp.take(d, 0, axis=pax)
+        c1 = jnp.take(d, 1, axis=pax)
+        if ntt_form:
+            c0g = tool.apply_ntt(c0, elt)
+            target = R.ntt_inverse(tool.apply_ntt(c1, elt), qtab)
+        else:
+            c0g = tool.apply_coeff(c0, elt, qtab)
+            target = tool.apply_coeff(c1, elt, qtab)
+        sw = self.ev._switch_key_impl(self.cd, target, key, out_ntt=ntt_form)
+        sw0 = jnp.take(sw, 0, axis=pax)
+        sw1 = jnp.take(sw, 1, axis=pax)
+        return safe_stack([R.add(sw0, c0g, qtab), sw1], axis=pax)
+
+    def galois_elements_for_steps(self, steps: int) -> list[int]:
+        """Galois elements for a rotation, NAF-decomposed for non-powers of
+        two exactly like the object API (ref: evaluator_keyswitching.cu:
+        276-292).  One element per keyswitch round."""
+        from ..utils.numth import naf
+        from ..ops.galois import GaloisTool
+
+        n = self.cd.parms.poly_modulus_degree
+        if steps == 0:
+            raise ValueError("[BatchedEvaluator] rotation step must be nonzero")
+        comps = ([steps] if steps > 0 and steps & (steps - 1) == 0
+                 else [s for s in naf(steps) if s])
+        return [GaloisTool.get_element_from_step(s, n) for s in comps]
+
+    def build_galois_step(self, elts: list[int]):
+        """(d, keys) -> d applying the given galois elements in sequence;
+        `keys` is a tuple of per-element keyswitch key arrays (glk.key(elt))."""
+        from ..ops.galois import GaloisTool
+
+        ntt_form = self._ntt_form()
+        tool = GaloisTool.for_context(self.cd)
+        for elt in elts:  # materialize permutation tables before tracing
+            if ntt_form and elt not in tool._ntt_tables:
+                tool._ntt_tables[elt] = tool._build_ntt(elt)
+            if not ntt_form and elt not in tool._coeff_tables:
+                tool._coeff_tables[elt] = tool._build_coeff(elt)
+        self.ev._switch_tables(self.cd)
+
+        def step(d, keys):
+            for elt, k in zip(elts, keys):
+                d = self._galois_round(d, elt, k, ntt_form, tool)
+            return d
+
+        return step
+
+    def build_rotate_rows_step(self, steps: int):
+        """(d, keys) -> d: batched rotate_rows(steps) (BFV/BGV row rotation,
+        ref: evaluator_keyswitching.cu:263).  Returns (step, elts); pass
+        keys = tuple(glk.key(e) for e in elts)."""
+        elts = self.galois_elements_for_steps(steps)
+        return self.build_galois_step(elts), elts
+
+    def build_rotate_columns_step(self):
+        """(d, keys) -> d: batched rotate_columns / complex_conjugate
+        (the conjugation element)."""
+        from ..ops.galois import GaloisTool
+
+        n = self.cd.parms.poly_modulus_degree
+        elts = [GaloisTool.conjugate_element(n)]
+        return self.build_galois_step(elts), elts
+
+    # -- modswitch / rescale -------------------------------------------------
+    def build_rescale_step(self):
+        """(d) -> d at the next level: CKKS divide-and-round by q_last
+        (ref: evaluator_modswitch.cu:445).  Scale/parms bookkeeping is the
+        caller's (object-API) concern; this is the raw kernel."""
+        if self.cd.parms.scheme != SchemeType.CKKS:
+            raise ValueError("[BatchedEvaluator.build_rescale_step] CKKS only")
+        if self.cd.is_last():
+            raise ValueError("[BatchedEvaluator.build_rescale_step] last level")
+        cd = self.cd
+        cd.rns_tool.materialize()
+        qtab = cd.qtab()
+        return lambda d: cd.rns_tool.divide_and_round_q_last_ntt(d, qtab)
+
+    def build_mod_switch_step(self):
+        """(d) -> d at the next level (ref: evaluator_modswitch.cu:14).
+        BGV correction-factor bookkeeping stays object-level (the step
+        returns raw residues only)."""
+        if self.cd.is_last():
+            raise ValueError("[BatchedEvaluator.build_mod_switch_step] last level")
+        cd = self.cd
+        scheme = cd.parms.scheme
+        cd.rns_tool.materialize()
+        qtab = cd.qtab()
+        if scheme == SchemeType.BFV:
+            return lambda d: cd.rns_tool.divide_and_round_q_last(d)
+        if scheme == SchemeType.CKKS:
+            return lambda d: d[..., :-1, :]
+        return lambda d: cd.rns_tool.mod_t_and_divide_q_last_ntt(d, qtab)
