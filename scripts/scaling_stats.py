@@ -1,0 +1,190 @@
+"""Scaling-efficiency diagnostics measurable WITHOUT multi-chip hardware.
+
+Two falsifiable halves of the BASELINE.md ">= 80% efficiency at 2 hosts"
+claim, until real multi-chip hardware exists (VERDICT r03 item 6):
+
+1. Per-mesh-shape partition stats (virtual CPU devices): for each
+   (data x limb) mesh shape, the per-device resident bytes of the sharded
+   ciphertext batch and the collective ops/bytes GSPMD inserts into ONE
+   compiled mul+relin step (parallel/mesh.collective_stats).  Pure batch
+   parallelism must induce ZERO collectives — the on-paper proof that the
+   batched op stream scales embarrassingly — while limb sharding pays a
+   bounded, printed collective budget (tests/parallel/test_mesh.py pins
+   ceilings).
+
+2. Weak-scaling wall clock across OS PROCESSES (jax.distributed over
+   sockets, the same code path a real pod uses): 1 process x 4 devices vs
+   2 processes x 4 devices each, same per-device shard (B=4/device), REPS
+   chained steps inside one jitted fori_loop per measurement.  CAVEAT: this
+   host has only 4 physical cores, so the 2-process run oversubscribes
+   compute 2x — the printed efficiency is a LOWER bound on what distinct
+   hosts would achieve (perfect scaling would need 8 cores).
+
+Run:  python scripts/scaling_stats.py            # partition table
+      python scripts/scaling_stats.py --timing   # + 2-process weak scaling
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("TROY_SS_N", "2048"))
+Q_BITS = (30, 30, 30, 30, 30)   # 4 data limbs + special prime
+B_PER_DEV = 4
+REPS = int(os.environ.get("TROY_SS_REPS", "8"))
+PORT = int(os.environ.get("TROY_SS_PORT", "51431"))
+
+
+def _build(batch: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.core.fixtures import GeneralHeContext
+    from troy_tpu.parallel.batched import BatchedEvaluator
+
+    g = GeneralHeContext("BFV", N, log_t=20, q_bits=Q_BITS, seed=0xD15)
+    cd = g.context.first_context_data()
+    rng = np.random.default_rng(33)
+    ms = rng.integers(0, g.t, size=(2, g.encoder.slot_count), dtype=np.uint64)
+    ct1 = np.asarray(g.encrypt(ms[0]).data)
+    ct2 = np.asarray(g.encrypt(ms[1]).data)
+    keys = np.asarray(g.keygen.create_relin_keys().key(2))
+    d1 = np.broadcast_to(ct1[None], (batch,) + ct1.shape).copy()
+    d2 = np.broadcast_to(ct2[None], (batch,) + ct2.shape).copy()
+    batched = BatchedEvaluator(g.evaluator, cd)
+    step = batched.build_mul_relin_step(jnp.asarray(keys))
+    return step, d1, d2, keys
+
+
+def partition_table() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    import jax.numpy as jnp
+
+    from troy_tpu.parallel import mesh as M
+
+    shapes = [(1, 1), (2, 1), (4, 1), (8, 1), (4, 2), (2, 4)]
+    step, d1, d2, keys = _build(batch=8)
+    full_mb = d1.size * d1.itemsize / 2 ** 20
+    print(f"# mul+relin step, BFV n={N}, L={len(Q_BITS)}, batch=8 "
+          f"(full batch {full_mb:.2f} MiB/operand)")
+    print("| mesh (data x limb) | per-device MiB/operand | collectives/step "
+          "| collective MiB/step |")
+    print("|---|---|---|---|")
+    for data, limb in shapes:
+        m = M.make_mesh(data=data, limb=limb,
+                        devices=jax.devices()[: data * limb])
+        ds1 = M.shard_batch(jnp.asarray(d1), m, shard_limbs=limb > 1)
+        ds2 = M.shard_batch(jnp.asarray(d2), m, shard_limbs=limb > 1)
+        kr = M.replicate(jnp.asarray(keys), m)
+        compiled = jax.jit(step).lower(ds1, ds2, kr).compile()
+        stats = M.collective_stats(compiled)
+        dev_mb = M.per_device_bytes(ds1) / 2 ** 20
+        cmb = stats["approx_bytes"] / 2 ** 20
+        cdesc = (", ".join(f"{k} x{v}" for k, v in sorted(stats["counts"].items()))
+                 or "none")
+        print(f"| {data} x {limb} | {dev_mb:.2f} | {cdesc} | {cmb:.2f} |")
+
+
+# ---------------------------------------------------------------------------
+# 2-process weak scaling (jax.distributed over sockets)
+# ---------------------------------------------------------------------------
+
+def _timed_steps(step, d1, d2, keys, spec, rep) -> float:
+    """Median wall time of REPS chained steps in one jitted fori_loop."""
+    import jax
+    import numpy as np
+    from jax import lax
+
+    def chained(a, b, k):
+        return lax.fori_loop(0, REPS, lambda i, c: step(c, b, k), a)
+
+    fn = jax.jit(chained, in_shardings=(spec, spec, rep), out_shardings=spec)
+    w = fn(d1, d2, keys)
+    jax.block_until_ready(w)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(d1, d2, keys)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1] / REPS
+
+
+def timing_worker(nproc: int, pid: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{PORT}",
+            num_processes=nproc, process_id=pid)
+    import jax.numpy as jnp
+
+    from troy_tpu.parallel import mesh as M
+
+    batch = B_PER_DEV * len(jax.devices())
+    step, d1, d2, keys = _build(batch)
+    mesh = (M.make_multihost_mesh(hosts=nproc, limb=1) if nproc > 1
+            else M.make_mesh(limb=1))
+    spec = M.ct_batch_spec(mesh, shard_limbs=False, ndim=d1.ndim)
+    rep = jax.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+    def put(host_arr, sharding):
+        return jax.make_array_from_callback(
+            host_arr.shape, sharding, lambda idx: host_arr[idx])
+
+    dt = _timed_steps(step, put(jnp.asarray(d1), spec),
+                      put(jnp.asarray(d2), spec), put(jnp.asarray(keys), rep),
+                      spec, rep)
+    if pid == 0:
+        print(f"procs={nproc} devices={len(jax.devices())} batch={batch} "
+              f"ms/step={dt * 1e3:.2f} ct/s={batch / dt:.0f}", flush=True)
+    if nproc > 1:
+        jax.distributed.shutdown()
+
+
+def timing() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = []
+    for nproc in (1, 2):
+        procs = []
+        for pid in range(nproc):
+            env = dict(os.environ, TROY_SS_ROLE="worker",
+                       TROY_SS_NPROC=str(nproc), TROY_SS_PID=str(pid),
+                       PYTHONPATH=repo)
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                cwd=repo, stdout=subprocess.PIPE, text=True))
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        if any(p.returncode for p in procs):
+            raise SystemExit(f"worker failure: {[p.returncode for p in procs]}")
+        line = next(l for l in outs[0].splitlines() if l.startswith("procs="))
+        print(line)
+        results.append(float(line.split("ct/s=")[1]))
+    eff = results[1] / (2 * results[0])
+    print(f"weak-scaling efficiency 1->2 processes: {eff:.2%} "
+          f"(lower bound: both processes share this host's 4 cores)")
+    # on shared cores the compute ceiling for 2x work is 50%; the distance
+    # below 50% is the true distributed-runtime overhead (coordination +
+    # cross-process dispatch), the part that would carry over to real hosts
+    print(f"distributed overhead vs the 50% shared-core ceiling: "
+          f"{(0.5 - eff) / 0.5:.2%}")
+
+
+if __name__ == "__main__":
+    if os.environ.get("TROY_SS_ROLE") == "worker":
+        timing_worker(int(os.environ["TROY_SS_NPROC"]),
+                      int(os.environ["TROY_SS_PID"]))
+    elif "--timing" in sys.argv:
+        timing()
+    else:
+        partition_table()

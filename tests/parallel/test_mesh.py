@@ -222,3 +222,33 @@ def test_poly_sharded_single_ct_latency_path():
     out = fn(d1s, d2s, keys_s)
     np.testing.assert_array_equal(np.asarray(out), ref)
     assert M.per_device_bytes(out) == out.size * out.dtype.itemsize // 8
+
+
+@needs_8
+def test_limb_sharding_collective_byte_ceiling():
+    """Pin the collective budget of the limb-sharded step (the falsifiable
+    on-paper half of the scaling claim, scripts/scaling_stats.py): pure
+    batch parallelism moves zero bytes; (data x limb) = (4, 2) sharding must
+    stay under 6x the operand bytes per step (measured ~4.2x at n=2048 and
+    n=32 alike — the ratio is scale-invariant)."""
+    h, cd, batched, rlk = _setup()
+    B = 8
+    d = batched.stack([h.encrypt(h.random_simd(RNG)) for _ in range(B)])
+    keys = rlk.key(2)
+    step = batched.build_mul_relin_step(keys)
+    operand_bytes = d.size * d.dtype.itemsize
+
+    m_dp = M.make_mesh(data=8, limb=1)
+    c_dp = jax.jit(step).lower(
+        M.shard_batch(d, m_dp, shard_limbs=False),
+        M.shard_batch(d, m_dp, shard_limbs=False),
+        M.replicate(keys, m_dp)).compile()
+    assert M.collective_stats(c_dp)["approx_bytes"] == 0
+
+    m = M.make_mesh(data=4, limb=2)
+    compiled = jax.jit(step).lower(
+        M.shard_batch(d, m), M.shard_batch(d, m),
+        M.replicate(keys, m)).compile()
+    stats = M.collective_stats(compiled)
+    assert stats["total"] >= 1
+    assert stats["approx_bytes"] <= 6 * operand_bytes, stats
