@@ -313,3 +313,57 @@ class TestDecodeDevice:
         d_host = g.encoder.decode(pt)
         assert np.max(np.abs(d_dev - d_host)) < 1e-9
         assert np.max(np.abs(d_dev - v)) < 1e-5
+
+
+class TestMultiwordTierBound:
+    def test_multiword_bound_vs_host_across_envelope(self):
+        """Documented error-bound property (round-4): across the supported
+        multi-word envelope — W in {3, 4, 5} word tiers, both residue
+        widths, every chain level where C fits q/2 — the device-encoded
+        CENTERED INTEGER coefficients differ from the host big-int path by
+        at most C * 2^-45 (C = scale * max|v|).  The dd FFT carries ~48
+        significant bits, so each rounded coefficient may land within
+        C * 2^-47 of the host's; the word decomposition and RNS reduction
+        after rounding are bit-exact integer functions (verified separately
+        by test_multiword_exact / test_rns_reduction_exact_*), so the FFT
+        is the ONLY divergence and the margin is 4x the model.  The
+        reference's f64 device encoder carries the same-shaped bound at
+        C * 2^-52 (src/ckks_encoder.cu:454-692)."""
+        rng = np.random.default_rng(4747)
+        checked = 0
+        for q_bits, n in [((30,) * 6, 64), ((60, 60, 60), 64)]:
+            g = GeneralHeContext("CKKS", n, q_bits=q_bits, scale=2.0 ** 25)
+            ctx = g.context
+            slots = g.encoder.slot_count
+            levels = [ctx.first_parms_id,
+                      ctx.get_context_data(ctx.first_parms_id).next.parms_id]
+            for scale in (2.0 ** 50, 2.0 ** 72, 2.0 ** 95, 2.0 ** 110):
+                v = rng.uniform(-1, 1, slots) + 1j * rng.uniform(-1, 1, slots)
+                C = scale * np.max(np.abs(v))
+                for pid in levels:
+                    cd = ctx.get_context_data(pid)
+                    if 4 * C >= 2.0 ** cd.total_coeff_modulus.bit_length():
+                        continue  # outside the encoder's own q/2 gate
+                    pt_dev = g.encoder.encode_device(v, pid, scale=scale)
+                    pt_host = g.encoder.encode(v, pid, scale=scale)
+                    from troy_tpu.core.ckks_encoder import _ntt_jit
+
+                    def centered(pt):
+                        arr = np.asarray(_ntt_jit(cd, False)(pt.data))
+                        if cd.wide:
+                            from troy_tpu.ops.u64 import unpack64
+
+                            arr = unpack64(arr[0], arr[1])
+                        Q = cd.base_q.prod
+                        comp = np.array(cd.base_q.compose_array_host(arr),
+                                        dtype=object)
+                        return np.where(comp > Q // 2, comp - Q, comp)
+
+                    diff = np.abs(centered(pt_dev) - centered(pt_host))
+                    bound = int(C * 2.0 ** -45) + 2
+                    assert int(diff.max()) <= bound, (
+                        f"q_bits={q_bits} scale=2^{np.log2(scale):.0f} "
+                        f"level={cd.chain_index}: max diff {diff.max()} "
+                        f"> bound {bound}")
+                    checked += 1
+        assert checked >= 10  # the envelope was actually swept
