@@ -146,3 +146,49 @@ def test_scale_up_and_centralize():
             assert int(cent[i, c]) == centered % q
     back = np.asarray(scaler.decentralize(jnp.asarray(cent)))
     np.testing.assert_array_equal(back, m)
+
+
+def test_base_converter_mxu_bit_identical():
+    """The int8-plane MXU base conversion (round-4 joint offload experiment)
+    is bit-identical to the VPU wide-accumulation dot, including a batched
+    leading axis and a large input base (contraction 15)."""
+    from troy_tpu.rns import rns_base as RB
+
+    for L_in, L_out in [(3, 4), (15, 9)]:
+        ibase = make_base(L_in)
+        obase = RNSBase([Modulus(p)
+                         for p in numth.get_primes(2 * N, 29, L_out)])
+        conv = BaseConverter(ibase, obase)
+        values = rand_ints(ibase, N)
+        values2 = rand_ints(ibase, N)
+        x = jnp.asarray(np.stack([ibase.decompose_array_host(values),
+                                  ibase.decompose_array_host(values2)]))
+        prev = RB.get_bconv_backend()
+        try:
+            RB.set_bconv_backend("vpu")
+            y_vpu = np.asarray(conv.convert(x))
+            RB.set_bconv_backend("mxu")
+            y_mxu = np.asarray(conv.convert(x))
+        finally:
+            RB.set_bconv_backend(prev)
+        np.testing.assert_array_equal(y_vpu, y_mxu)
+
+
+def test_behz_pipeline_with_mxu_bconv():
+    """Full BEHZ multiply stages stay exact when every BaseConverter runs
+    through the MXU path (sm_mrq centered-representative property)."""
+    from troy_tpu.rns import rns_base as RB
+
+    base = make_base(3)
+    tool = RNSTool(LOG_N, base, Modulus(numth.get_prime(2 * N, 20)))
+    values = rand_ints(base, N)
+    x = jnp.asarray(base.decompose_array_host(values))
+    prev = RB.get_bconv_backend()
+    try:
+        RB.set_bconv_backend("vpu")
+        y_vpu = np.asarray(tool.fast_b_conv_m_tilde_sm_mrq(x))
+        RB.set_bconv_backend("mxu")
+        y_mxu = np.asarray(tool.fast_b_conv_m_tilde_sm_mrq(x))
+    finally:
+        RB.set_bconv_backend(prev)
+    np.testing.assert_array_equal(y_vpu, y_mxu)

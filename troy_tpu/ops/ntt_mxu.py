@@ -16,13 +16,30 @@ matmuls — the unit with ~100x the integer throughput:
   the flat output order is EXACTLY ops/ntt.py's scrambled order — the two
   implementations are bit-interchangeable.
 
-Exact modular matmul on the MXU: operands split into 7-bit limbs stored as
-int8 (values <= 127, no signed-offset corrections needed); one dot_general
-contracts all limb pairs at once with int32 accumulation (partial sums
-<= 127^2 * n1 * 5 < 2^25, exact); recombination multiplies each diagonal
-limb-weight 2^(7s) mod q back in with Shoup constants on the VPU.
+Exact modular matmul on the MXU — balanced base-256 scheme (round 4; the
+round-2 scheme used 5 unsigned 7-bit limbs and a 9-diagonal Shoup
+recombination, which kept the VPU recombination cost at parity with the
+six-step butterflies — pallas_mxu only TIED sixstep, BENCH.md):
 
-(ref: the roofline redesign of src/fgk/ntt_grouped.cu — SURVEY.md §7 step 2.)
+  * operands in [0, q), q < 2^30, split into FOUR balanced base-256 digits
+    d_p in [-128, 127] (top digit in [0, 64]) stored as int8 planes;
+  * one dot_general contracts all 4x4 plane pairs with int32 accumulation;
+    |partial| <= 128^2 * K for contraction length K — exact for K <= 2^17;
+  * the 7 anti-diagonals P[s] (weight 2^(8s)) are folded PAIRWISE in plain
+    int32 — C[t] = P[2t] + 256*P[2t+1], weight 2^(16t) — which is exact for
+    K <= 128 (|C| <= 0.76 * 2^31 by the per-diagonal worst case), leaving
+    only FOUR modular Shoup multiplies per element instead of nine;
+  * C[t] may be negative: a UNIFORM +2^31 shift (u32 wrapping add — exact
+    because C + 2^31 lands in [0, 2^32)) makes every group nonnegative
+    before its Shoup multiply, and the known excess sum_t 2^31 * w_t mod q
+    is removed by ONE precomputed constant subtraction at the end.
+
+For contraction lengths > 128 (n1 or n2 > 128) the pairwise fold would
+overflow int32 and the recombination falls back to the 7 single diagonals
+(weight 2^(8s), still fewer than the old 9; exact for K <= 2^15).
+
+(ref: the roofline redesign of src/fgk/ntt_grouped.cu — SURVEY.md §7 step 2;
+BENCH.md roofline: NTT butterflies 47% of flagship multiplies.)
 """
 
 from __future__ import annotations
@@ -35,26 +52,111 @@ from . import u32 as U
 from ..utils import numth
 from ..core.modulus import Modulus
 
-LIMB_BITS = 7
-N_LIMBS = 5  # ceil(30 / 7)
-_LIMB_MASK = (1 << LIMB_BITS) - 1
+LIMB_BITS = 8
+N_LIMBS = 4  # balanced base-256 digits covering [0, 2^30)
+N_DIAGS = 2 * N_LIMBS - 1
+PAIR_FOLD_MAX_K = 128  # max contraction length for the pairwise int32 fold
 
 
-def _split_limbs_const(m: np.ndarray) -> np.ndarray:
-    """(...,) u32 host matrix -> (N_LIMBS, ...) int8 limb planes."""
+def _balance_const(m: np.ndarray) -> np.ndarray:
+    """(...,) u32 host matrix (entries < 2^30) -> (4, ...) int8 balanced
+    base-256 digit planes."""
+    v = m.astype(np.int64)
     out = np.empty((N_LIMBS,) + m.shape, dtype=np.int8)
-    for i in range(N_LIMBS):
-        out[i] = ((m >> (LIMB_BITS * i)) & _LIMB_MASK).astype(np.int8)
+    for p in range(N_LIMBS):
+        d = v & 0xFF
+        carry = d >= 128
+        d = d - (carry << 8)
+        v = (v >> 8) + carry
+        out[p] = d.astype(np.int8)
+    assert (v == 0).all()
     return out
 
 
-def _split_limbs(x: jnp.ndarray) -> jnp.ndarray:
-    """(...,) u32 device array -> (N_LIMBS, ...) int8 limb planes."""
-    planes = [
-        ((x >> U.U32(LIMB_BITS * i)) & U.U32(_LIMB_MASK)).astype(jnp.int8)
-        for i in range(N_LIMBS)
-    ]
-    return jnp.stack(planes)
+def split_balanced(x: jnp.ndarray, q) -> jnp.ndarray:
+    """(...,) u32 device array in [0, 2q) -> (4, ...) int8 balanced digit
+    planes of x mod-reduced to [0, q).  q broadcastable to x."""
+    x = U.cond_sub(x, q)
+    v = x.astype(jnp.int32)
+    b0 = v & 255
+    b1 = (v >> 8) & 255
+    b2 = (v >> 16) & 255
+    b3 = v >> 24
+    c0 = (b0 >= 128).astype(jnp.int32)
+    d0 = b0 - (c0 << 8)
+    b1 = b1 + c0
+    c1 = (b1 >= 128).astype(jnp.int32)
+    d1 = b1 - (c1 << 8)
+    b2 = b2 + c1
+    c2 = (b2 >= 128).astype(jnp.int32)
+    d2 = b2 - (c2 << 8)
+    d3 = b3 + c2  # <= 64 for x < 2^30
+    return jnp.stack([p.astype(jnp.int8) for p in (d0, d1, d2, d3)])
+
+
+_HALF = np.uint32(1 << 31)
+
+
+def recombine_planes(P: jnp.ndarray, pow16, pow16_shoup, pow8, pow8_shoup,
+                     corr16, corr8, q, contraction: int) -> jnp.ndarray:
+    """P: (i, j, ...) int32 plane-pair partials (i, j = digit indices of the
+    two operands) -> (sum_ij P * 2^(8(i+j))) mod q, elementwise over the
+    trailing shape.  pow16/pow8: per-limb lists of 2^(16t) / 2^(8s) mod q
+    (with Shoup words) broadcastable to the output; corr16/corr8: the
+    per-limb constant (sum_t 2^31 * w_t) mod q removed after the uniform
+    +2^31 shift.  `contraction` selects the pairwise fold (exact for <= 128)
+    or the per-diagonal fallback."""
+    diags = []
+    for s in range(N_DIAGS):
+        acc = None
+        for i in range(max(0, s - N_LIMBS + 1), min(N_LIMBS, s + 1)):
+            term = P[i, s - i]
+            acc = term if acc is None else acc + term
+        diags.append(acc)
+    if contraction <= PAIR_FOLD_MAX_K:
+        groups = [diags[0] + (diags[1] << 8), diags[2] + (diags[3] << 8),
+                  diags[4] + (diags[5] << 8), diags[6]]
+        weights, wshoups, corr = pow16, pow16_shoup, corr16
+    else:
+        groups = diags
+        weights, wshoups, corr = pow8, pow8_shoup, corr8
+    two_q = q * U.U32(2)
+    acc = None
+    for t, g in enumerate(groups):
+        # u32 wrapping view of g + 2^31 — exact since g + 2^31 in [0, 2^32)
+        gu = g.astype(jnp.uint32) + _HALF
+        contrib = U.shoup_mul_lazy(gu, weights[t], wshoups[t], q)  # [0, 2q)
+        if acc is None:
+            acc = contrib
+        else:
+            acc = U.cond_sub(acc + contrib, two_q)
+    return U.sub_mod(U.cond_sub(acc, q), corr, q)
+
+
+def _pow_tables(moduli: list[Modulus]):
+    """Per-limb recombination constants: 2^(16t) and 2^(8s) mod q with Shoup
+    words, plus the shift corrections corr = (sum_t 2^31 * w_t) mod q for
+    each weight set."""
+    L = len(moduli)
+    pow16 = np.zeros((L, N_LIMBS), dtype=np.uint32)
+    pow16_sh = np.zeros((L, N_LIMBS), dtype=np.uint32)
+    pow8 = np.zeros((L, N_DIAGS), dtype=np.uint32)
+    pow8_sh = np.zeros((L, N_DIAGS), dtype=np.uint32)
+    corr16 = np.zeros((L,), dtype=np.uint32)
+    corr8 = np.zeros((L,), dtype=np.uint32)
+    for l, mod in enumerate(moduli):
+        q = mod.value
+        for t in range(N_LIMBS):
+            c = pow(2, 16 * t, q)
+            pow16[l, t] = c
+            pow16_sh[l, t] = (c << 32) // q
+        for s in range(N_DIAGS):
+            c = pow(2, 8 * s, q)
+            pow8[l, s] = c
+            pow8_sh[l, s] = (c << 32) // q
+        corr16[l] = sum((1 << 31) * pow(2, 16 * t, q) for t in range(N_LIMBS)) % q
+        corr8[l] = sum((1 << 31) * pow(2, 8 * s, q) for s in range(N_DIAGS)) % q
+    return pow16, pow16_sh, pow8, pow8_sh, corr16, corr8
 
 
 class MxuNTTTables:
@@ -79,8 +181,6 @@ class MxuNTTTables:
         W1i = np.zeros((L, n1, n1), dtype=np.uint32)
         Ti = np.zeros((L, n1, n2), dtype=np.uint32)
         W2i = np.zeros((L, n2, n2), dtype=np.uint32)
-        pow_mod_q = np.zeros((L, 2 * N_LIMBS - 1), dtype=np.uint32)
-        pow_shoup = np.zeros((L, 2 * N_LIMBS - 1), dtype=np.uint32)
 
         brv_a = [numth.reverse_bits(i, self.a) for i in range(n1)]
         brv_b = [numth.reverse_bits(i, self.b) for i in range(n2)]
@@ -141,12 +241,10 @@ class MxuNTTTables:
                         w1i[i1, k1p] = c * pow(iw_n2, i1 * k1, q) % q
                 self._cache[key] = (w1, t, w2, w1i, ti, w2i)
             W1[l], T[l], W2[l], W1i[l], Ti[l], W2i[l] = w1, t, w2, w1i, ti, w2i
-            for s in range(2 * N_LIMBS - 1):
-                c = pow(2, LIMB_BITS * s, mod.value)
-                pow_mod_q[l, s] = c
-                pow_shoup[l, s] = (c << 32) // mod.value
 
-        def shoup(m, col=False):
+        pow16, pow16_sh, pow8, pow8_sh, corr16, corr8 = _pow_tables(moduli)
+
+        def shoup(m):
             out = np.zeros_like(m, dtype=np.uint32)
             for l, mod in enumerate(moduli):
                 q = mod.value
@@ -154,10 +252,11 @@ class MxuNTTTables:
             return out
 
         self._host = dict(
-            W1=_split_limbs_const(W1), W2=_split_limbs_const(W2),
-            W1i=_split_limbs_const(W1i), W2i=_split_limbs_const(W2i),
+            W1=_balance_const(W1), W2=_balance_const(W2),
+            W1i=_balance_const(W1i), W2i=_balance_const(W2i),
             T=T, T_shoup=shoup(T), Ti=Ti, Ti_shoup=shoup(Ti),
-            pow_mod_q=pow_mod_q, pow_shoup=pow_shoup,
+            pow16=pow16, pow16_shoup=pow16_sh,
+            pow8=pow8, pow8_shoup=pow8_sh, corr16=corr16, corr8=corr8,
             q=np.array([m.value for m in moduli], dtype=np.uint32),
         )
         self._device = None
@@ -176,7 +275,8 @@ class MxuNTTTables:
 MXU_LIMB_AXIS = {
     "mxu_W1": 1, "mxu_W2": 1, "mxu_W1i": 1, "mxu_W2i": 1,
     "mxu_T": 0, "mxu_T_shoup": 0, "mxu_Ti": 0, "mxu_Ti_shoup": 0,
-    "mxu_pow_mod_q": 0, "mxu_pow_shoup": 0,
+    "mxu_pow16": 0, "mxu_pow16_shoup": 0,
+    "mxu_pow8": 0, "mxu_pow8_shoup": 0, "mxu_corr16": 0, "mxu_corr8": 0,
 }
 
 
@@ -186,47 +286,48 @@ def _factors(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
+def _recombine(P: jnp.ndarray, t: dict, out_ndim: int, prefix: str,
+               contraction: int) -> jnp.ndarray:
+    """Broadcast-shape wrapper over recombine_planes for (i, j, ..., L, r, c)
+    partials."""
+    lead = (1,) * (out_ndim - 3)
+    sh = lead + (-1, 1, 1)
+    p = prefix
+    return recombine_planes(
+        P,
+        [t[p + "pow16"][:, k].reshape(sh) for k in range(N_LIMBS)],
+        [t[p + "pow16_shoup"][:, k].reshape(sh) for k in range(N_LIMBS)],
+        [t[p + "pow8"][:, k].reshape(sh) for k in range(N_DIAGS)],
+        [t[p + "pow8_shoup"][:, k].reshape(sh) for k in range(N_DIAGS)],
+        t[p + "corr16"].reshape(sh), t[p + "corr8"].reshape(sh),
+        t["q"].reshape(sh), contraction)
+
+
 def _modular_matmul_left(Wl: jnp.ndarray, x: jnp.ndarray, t: dict,
                          prefix: str = "") -> jnp.ndarray:
     """C[..., L, a, c] = sum_b W[L, a, b] * x[..., L, b, c] mod q.
-    Wl: (limbs, L, a, b) int8 constant planes; x: (..., L, b, c) u32."""
-    xl = _split_limbs(x)  # (j, ..., L, b, c)
+    Wl: (limbs, L, a, b) int8 constant planes; x: (..., L, b, c) u32 in
+    [0, 2q)."""
+    lead = (1,) * (x.ndim - 3)
+    xl = split_balanced(x, t["q"].reshape(lead + (-1, 1, 1)))
     P = jnp.einsum("ilab,j...lbc->ij...lac", Wl, xl,
                    preferred_element_type=jnp.int32)
-    return _recombine(P, t, x.ndim, prefix)
+    return _recombine(P, t, x.ndim, prefix, contraction=x.shape[-2])
 
 
 def _modular_matmul_right(x: jnp.ndarray, Wl: jnp.ndarray, t: dict,
                           prefix: str = "") -> jnp.ndarray:
     """C[..., L, a, d] = sum_c x[..., L, a, c] * W[L, c, d] mod q."""
-    xl = _split_limbs(x)
+    lead = (1,) * (x.ndim - 3)
+    xl = split_balanced(x, t["q"].reshape(lead + (-1, 1, 1)))
     P = jnp.einsum("j...lac,ilcd->ij...lad", xl, Wl,
                    preferred_element_type=jnp.int32)
-    return _recombine(P, t, x.ndim, prefix)
-
-
-def _recombine(P: jnp.ndarray, t: dict, out_ndim: int,
-               prefix: str = "") -> jnp.ndarray:
-    """P: (i, j, ..., L, r, c) int32 partials -> sum_ij P * 2^(7(i+j)) mod q."""
-    lead = (1,) * (out_ndim - 3)
-    q = t["q"].reshape(lead + (-1, 1, 1))
-    acc = None
-    for s in range(2 * N_LIMBS - 1):
-        ss = None
-        for i in range(max(0, s - N_LIMBS + 1), min(N_LIMBS, s + 1)):
-            term = P[i, s - i]
-            ss = term if ss is None else ss + term
-        ssu = ss.astype(jnp.uint32)
-        w = t[prefix + "pow_mod_q"][:, s].reshape(lead + (-1, 1, 1))
-        wsh = t[prefix + "pow_shoup"][:, s].reshape(lead + (-1, 1, 1))
-        contrib = U.shoup_mul(ssu, w, wsh, q)
-        acc = contrib if acc is None else U.add_mod(acc, contrib, q)
-    return acc
+    return _recombine(P, t, x.ndim, prefix, contraction=x.shape[-1])
 
 
 def ntt_forward_mxu(x: jnp.ndarray, t: dict, prefix: str = "") -> jnp.ndarray:
     """Forward negacyclic NTT, bit-identical to ops/ntt.ntt_forward.
-    x: (..., L, n) u32 in [0, q).  `t` is either an MxuNTTTables.pack() or an
+    x: (..., L, n) u32 in [0, 2q).  `t` is either an MxuNTTTables.pack() or an
     NTTTables pack with merged mxu_* keys (prefix="mxu_")."""
     n1, n2 = _factors(x.shape[-1])
     p = prefix

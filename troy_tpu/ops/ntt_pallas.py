@@ -110,80 +110,107 @@ def _inv_kernel(q_ref, p1_ref, p1s_ref, ni1_ref, ni1s_ref, t_ref, ts_ref,
 
 # ---------------------------------------------------------------------------
 # MXU variant: the two sub-transforms are int8-limb matmuls on the MXU with
-# recombination kept in VMEM (the pure-XLA mxu backend materializes 25
+# recombination kept in VMEM (the pure-XLA mxu backend materializes the
 # partial-product tensors to HBM per transform; here they never leave the
-# kernel).  Tables from MxuNTTTables (7-bit limb planes, exact int32 dots).
+# kernel).  Tables from MxuNTTTables — round-4 balanced base-256 scheme:
+# 4 signed digit planes, 16 plane-pair dots, and the pairwise-folded
+# 4-Shoup recombination (see ops/ntt_mxu.py module docstring).
 # ---------------------------------------------------------------------------
 
-from .ntt_mxu import N_LIMBS, LIMB_BITS, _LIMB_MASK
+from .ntt_mxu import (N_LIMBS, N_DIAGS, PAIR_FOLD_MAX_K, _HALF,
+                      split_balanced)
 
 
-def _kernel_split_limbs(x):
-    return [((x >> U.U32(LIMB_BITS * i)) & U.U32(_LIMB_MASK)).astype(jnp.int8)
-            for i in range(N_LIMBS)]
-
-
-def _mxu_matmul_left(Wl, x, pw, pws, q):
-    """sum_b W[a,b] x[b,c] mod q for one limb: W limbs (N_LIMBS, a, b) int8,
-    x (a..b, c) u32 -> (a, c) u32; everything stays in registers/VMEM."""
-    xl = _kernel_split_limbs(x)
-    acc = None
-    for s in range(2 * N_LIMBS - 1):
-        ss = None
+def _kernel_recombine(Pfn, pw16, pws16, corr16, pw8, pws8, corr8, q,
+                      contraction):
+    """In-kernel mirror of ntt_mxu.recombine_planes: Pfn(i, j) yields the
+    int32 dot of plane pair (i, j) lazily; scalars come from SMEM."""
+    diags = []
+    for s in range(N_DIAGS):
+        acc = None
         for i in range(max(0, s - N_LIMBS + 1), min(N_LIMBS, s + 1)):
-            p = jax.lax.dot_general(
-                Wl[i], xl[s - i], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            ss = p if ss is None else ss + p
-        contrib = U.shoup_mul(ss.astype(jnp.uint32), pw[s], pws[s], q)
-        acc = contrib if acc is None else U.add_mod(acc, contrib, q)
-    return acc
-
-
-def _mxu_matmul_right(x, Wl, pw, pws, q):
-    xl = _kernel_split_limbs(x)
+            term = Pfn(i, s - i)
+            acc = term if acc is None else acc + term
+        diags.append(acc)
+    if contraction <= PAIR_FOLD_MAX_K:
+        groups = [diags[0] + (diags[1] << 8), diags[2] + (diags[3] << 8),
+                  diags[4] + (diags[5] << 8), diags[6]]
+        w, ws, corr = pw16, pws16, corr16
+    else:
+        groups = diags
+        w, ws, corr = pw8, pws8, corr8
+    two_q = q * U.U32(2)
     acc = None
-    for s in range(2 * N_LIMBS - 1):
-        ss = None
-        for i in range(max(0, s - N_LIMBS + 1), min(N_LIMBS, s + 1)):
-            p = jax.lax.dot_general(
-                xl[s - i], Wl[i], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            ss = p if ss is None else ss + p
-        contrib = U.shoup_mul(ss.astype(jnp.uint32), pw[s], pws[s], q)
-        acc = contrib if acc is None else U.add_mod(acc, contrib, q)
-    return acc
+    for t, g in enumerate(groups):
+        gu = g.astype(jnp.uint32) + _HALF
+        contrib = U.shoup_mul_lazy(gu, w[t], ws[t], q)  # [0, 2q)
+        acc = contrib if acc is None else U.cond_sub(acc + contrib, two_q)
+    return U.sub_mod(U.cond_sub(acc, q), corr, q)
 
 
-def _fwd_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw_ref, pws_ref,
-                    x_ref, o_ref, *, n1, n2, L):
+def _mxu_matmul_left(Wl, x, sc, q):
+    """sum_b W[a,b] x[b,c] mod q for one limb: W digit planes
+    (N_LIMBS, a, b) int8, x (b, c) u32 -> (a, c) u32, VMEM-resident."""
+    xl = split_balanced(x, q)
+
+    def P(i, j):
+        return jax.lax.dot_general(Wl[i], xl[j], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    return _kernel_recombine(P, *sc, q, contraction=x.shape[0])
+
+
+def _mxu_matmul_right(x, Wl, sc, q):
+    xl = split_balanced(x, q)
+
+    def P(i, j):
+        return jax.lax.dot_general(xl[j], Wl[i], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    return _kernel_recombine(P, *sc, q, contraction=x.shape[1])
+
+
+def _limb_scalars(refs, l):
+    (pw16_ref, pws16_ref, c16_ref, pw8_ref, pws8_ref, c8_ref) = refs
+    return ([pw16_ref[l, t] for t in range(N_LIMBS)],
+            [pws16_ref[l, t] for t in range(N_LIMBS)],
+            c16_ref[l, 0],
+            [pw8_ref[l, s] for s in range(N_DIAGS)],
+            [pws8_ref[l, s] for s in range(N_DIAGS)],
+            c8_ref[l, 0])
+
+
+def _fwd_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw16_ref, pws16_ref,
+                    c16_ref, pw8_ref, pws8_ref, c8_ref, x_ref, o_ref,
+                    *, n1, n2, L):
     outs = []
     for l in range(L):
         q = q_ref[l, 0]
-        pw = [pw_ref[l, s] for s in range(2 * N_LIMBS - 1)]
-        pws = [pws_ref[l, s] for s in range(2 * N_LIMBS - 1)]
+        sc = _limb_scalars((pw16_ref, pws16_ref, c16_ref,
+                            pw8_ref, pws8_ref, c8_ref), l)
         x = x_ref[0, l]                                  # (n1, n2)
         w1 = [w1_ref[i, l] for i in range(N_LIMBS)]
-        a = _mxu_matmul_left(w1, x, pw, pws, q)          # stage A
+        a = _mxu_matmul_left(w1, x, sc, q)               # stage A
         b = U.shoup_mul(a, t_ref[l], ts_ref[l], q)       # twiddle
         w2 = [w2_ref[i, l] for i in range(N_LIMBS)]
-        outs.append(_mxu_matmul_right(b, w2, pw, pws, q))
+        outs.append(_mxu_matmul_right(b, w2, sc, q))
     o_ref[...] = jnp.stack(outs)[None]
 
 
-def _inv_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw_ref, pws_ref,
-                    x_ref, o_ref, *, n1, n2, L):
+def _inv_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw16_ref, pws16_ref,
+                    c16_ref, pw8_ref, pws8_ref, c8_ref, x_ref, o_ref,
+                    *, n1, n2, L):
     outs = []
     for l in range(L):
         q = q_ref[l, 0]
-        pw = [pw_ref[l, s] for s in range(2 * N_LIMBS - 1)]
-        pws = [pws_ref[l, s] for s in range(2 * N_LIMBS - 1)]
+        sc = _limb_scalars((pw16_ref, pws16_ref, c16_ref,
+                            pw8_ref, pws8_ref, c8_ref), l)
         x = x_ref[0, l]
         w2 = [w2_ref[i, l] for i in range(N_LIMBS)]
-        c = _mxu_matmul_right(x, w2, pw, pws, q)
+        c = _mxu_matmul_right(x, w2, sc, q)
         b = U.shoup_mul(c, t_ref[l], ts_ref[l], q)
         w1 = [w1_ref[i, l] for i in range(N_LIMBS)]
-        outs.append(_mxu_matmul_left(w1, b, pw, pws, q))
+        outs.append(_mxu_matmul_left(w1, b, sc, q))
     o_ref[...] = jnp.stack(outs)[None]
 
 
@@ -193,16 +220,20 @@ def _mxu_specs(L, n1, n2):
     w2 = pl.BlockSpec((N_LIMBS, L, n2, n2), lambda b: (0, 0, 0, 0),
                       memory_space=pltpu.VMEM)
     tw = pl.BlockSpec((L, n1, n2), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
-    pw = pl.BlockSpec((L, 2 * N_LIMBS - 1), lambda b: (0, 0),
-                      memory_space=pltpu.SMEM)
+    pw16 = pl.BlockSpec((L, N_LIMBS), lambda b: (0, 0),
+                        memory_space=pltpu.SMEM)
+    pw8 = pl.BlockSpec((L, N_DIAGS), lambda b: (0, 0),
+                       memory_space=pltpu.SMEM)
     scal = pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
     xspec = pl.BlockSpec((1, L, n1, n2), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    return [scal, w1, w2, tw, tw, pw, pw, xspec], xspec
+    return [scal, w1, w2, tw, tw, pw16, pw16, scal, pw8, pw8, scal,
+            xspec], xspec
 
 
 @functools.partial(jax.jit, static_argnames=("inverse",))
-def _ntt_pallas_mxu(x3, q, W1, W2, T, Ts, pw, pws, inverse: bool):
+def _ntt_pallas_mxu(x3, q, W1, W2, T, Ts, pw16, pws16, c16, pw8, pws8, c8,
+                    inverse: bool):
     B, L, n = x3.shape
     n1 = W1.shape[-1]
     n2 = n // n1
@@ -217,7 +248,8 @@ def _ntt_pallas_mxu(x3, q, W1, W2, T, Ts, pw, pws, inverse: bool):
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, n1, n2), jnp.uint32),
         interpret=interpret,
-    )(q.reshape(-1, 1), W1, W2, T, Ts, pw, pws, x3.reshape(B, L, n1, n2))
+    )(q.reshape(-1, 1), W1, W2, T, Ts, pw16, pws16, c16.reshape(-1, 1),
+      pw8, pws8, c8.reshape(-1, 1), x3.reshape(B, L, n1, n2))
     return out.reshape(B, L, n)
 
 
@@ -229,8 +261,10 @@ def ntt_forward_pallas_mxu(x: jnp.ndarray, t: dict, prefix: str = "mxu_") -> jnp
     B = int(_np.prod(lead)) if lead else 1
     p = prefix
     out = _ntt_pallas_mxu(x.reshape(B, L, n), t["q"], t[p + "W1"], t[p + "W2"],
-                          t[p + "T"], t[p + "T_shoup"], t[p + "pow_mod_q"],
-                          t[p + "pow_shoup"], inverse=False)
+                          t[p + "T"], t[p + "T_shoup"], t[p + "pow16"],
+                          t[p + "pow16_shoup"], t[p + "corr16"],
+                          t[p + "pow8"], t[p + "pow8_shoup"], t[p + "corr8"],
+                          inverse=False)
     return out.reshape(x.shape)
 
 
@@ -242,8 +276,10 @@ def ntt_inverse_pallas_mxu(x: jnp.ndarray, t: dict, prefix: str = "mxu_") -> jnp
     B = int(_np.prod(lead)) if lead else 1
     p = prefix
     out = _ntt_pallas_mxu(x.reshape(B, L, n), t["q"], t[p + "W1i"], t[p + "W2i"],
-                          t[p + "Ti"], t[p + "Ti_shoup"], t[p + "pow_mod_q"],
-                          t[p + "pow_shoup"], inverse=True)
+                          t[p + "Ti"], t[p + "Ti_shoup"], t[p + "pow16"],
+                          t[p + "pow16_shoup"], t[p + "corr16"],
+                          t[p + "pow8"], t[p + "pow8_shoup"], t[p + "corr8"],
+                          inverse=True)
     return out.reshape(x.shape)
 
 

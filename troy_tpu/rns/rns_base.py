@@ -184,6 +184,27 @@ class BaseConverter64:
         return R.pair(*acc)
 
 
+import os as _os
+
+# 'vpu' (default): wide (hi, lo) accumulation dot (one Barrett per output).
+# 'mxu': balanced int8 digit planes contracted over the input-limb axis on
+# the MXU with the pairwise-folded Shoup recombination (ops/ntt_mxu.py) —
+# bit-identical; the round-4 joint-MXU-offload experiment (BENCH.md
+# roofline: bconv-family dots are ~44% of flagship multiplies).
+_BCONV_BACKEND = _os.environ.get("TROY_BCONV_BACKEND", "vpu")
+
+
+def set_bconv_backend(name: str):
+    global _BCONV_BACKEND
+    if name not in ("vpu", "mxu"):
+        raise ValueError(f"[set_bconv_backend] unknown backend {name}")
+    _BCONV_BACKEND = name
+
+
+def get_bconv_backend() -> str:
+    return _BCONV_BACKEND
+
+
 class BaseConverter:
     """Fast (approximate) base conversion ibase -> obase
     (ref: rns_base.h:158-207 fast_convert_array).
@@ -201,6 +222,49 @@ class BaseConverter:
             for i, punc in enumerate(ibase.punctured):
                 mat[j, i] = punc % p
         self._mat = jnp.asarray(mat)
+        self._mxu = None
+
+    def _mxu_pack(self) -> dict:
+        if self._mxu is None:
+            from ..ops import ntt_mxu as MX
+
+            (pow16, pow16_sh, pow8, pow8_sh,
+             corr16, corr8) = MX._pow_tables(self.obase.moduli)
+            self._mxu = {
+                "mat_planes": jnp.asarray(
+                    MX._balance_const(np.asarray(self._mat))),
+                "pow16": jnp.asarray(pow16),
+                "pow16_shoup": jnp.asarray(pow16_sh),
+                "pow8": jnp.asarray(pow8),
+                "pow8_shoup": jnp.asarray(pow8_sh),
+                "corr16": jnp.asarray(corr16),
+                "corr8": jnp.asarray(corr8),
+            }
+        return self._mxu
+
+    def _convert_mxu(self, tmp: jnp.ndarray) -> jnp.ndarray:
+        """tmp: (..., L_in, n) residues in [0, q_i) -> (..., L_out, n); the
+        limb-axis contraction runs as int8-plane dot_generals with int32
+        accumulation — bit-identical to the VPU dot (same integer sum,
+        same final reduction)."""
+        from ..ops import ntt_mxu as MX
+
+        mx = self._mxu_pack()
+        op = self.obase.pack()
+        lead = (1,) * (tmp.ndim - 2)
+        planes = MX.split_balanced(
+            tmp, self.ibase.pack()["q"].reshape(lead + (-1, 1)))
+        P = jnp.einsum("j...lk,iol->ij...ok", planes, mx["mat_planes"],
+                       preferred_element_type=jnp.int32)
+        sh = lead + (-1, 1)
+        return MX.recombine_planes(
+            P,
+            [mx["pow16"][:, t].reshape(sh) for t in range(MX.N_LIMBS)],
+            [mx["pow16_shoup"][:, t].reshape(sh) for t in range(MX.N_LIMBS)],
+            [mx["pow8"][:, s].reshape(sh) for s in range(MX.N_DIAGS)],
+            [mx["pow8_shoup"][:, s].reshape(sh) for s in range(MX.N_DIAGS)],
+            mx["corr16"].reshape(sh), mx["corr8"].reshape(sh),
+            op["q"].reshape(sh), contraction=self.ibase.size)
 
     def convert(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (..., L_in, n) residues in ibase -> (..., L_out, n) in obase."""
@@ -214,6 +278,8 @@ class BaseConverter:
             ip["inv_punctured_shoup"].reshape(lead + (-1, 1)),
             ip["q"].reshape(lead + (-1, 1)),
         )
+        if _BCONV_BACKEND == "mxu":
+            return self._convert_mxu(tmp)
         p = op["q"].reshape(lead + (-1, 1))
         p_hi = op["ratio_hi"].reshape(lead + (-1, 1))
         p_lo = op["ratio_lo"].reshape(lead + (-1, 1))
