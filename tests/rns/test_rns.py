@@ -169,9 +169,12 @@ def test_base_converter_mxu_bit_identical():
             y_vpu = np.asarray(conv.convert(x))
             RB.set_bconv_backend("mxu")
             y_mxu = np.asarray(conv.convert(x))
+            RB.set_bconv_backend("pallas")  # fused kernel (interpret on CPU)
+            y_pl = np.asarray(conv.convert(x))
         finally:
             RB.set_bconv_backend(prev)
         np.testing.assert_array_equal(y_vpu, y_mxu)
+        np.testing.assert_array_equal(y_vpu, y_pl)
 
 
 def test_behz_pipeline_with_mxu_bconv():

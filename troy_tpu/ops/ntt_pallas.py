@@ -120,6 +120,17 @@ def _inv_kernel(q_ref, p1_ref, p1s_ref, ni1_ref, ni1s_ref, t_ref, ts_ref,
 from .ntt_mxu import (N_LIMBS, N_DIAGS, PAIR_FOLD_MAX_K, _HALF,
                       split_balanced)
 
+def _use_interpret() -> bool:
+    """Interpret mode when the computation will land on CPU: either the
+    whole platform is CPU, or an enclosing jax.default_device(cpu) context
+    is routing eager/table-setup calls there (client-side setup under the
+    remote-TPU platform, see bench.py / stage_bench.py)."""
+    if jax.default_backend() == "cpu":
+        return True
+    d = jax.config.jax_default_device
+    return d is not None and getattr(d, "platform", None) == "cpu"
+
+
 
 def _kernel_recombine(Pfn, pw16, pws16, corr16, pw8, pws8, corr8, q,
                       contraction):
@@ -240,7 +251,7 @@ def _ntt_pallas_mxu(x3, q, W1, W2, T, Ts, pw16, pws16, c16, pw8, pws8, c8,
     in_specs, out_spec = _mxu_specs(L, n1, n2)
     kern = functools.partial(
         _inv_kernel_mxu if inverse else _fwd_kernel_mxu, n1=n1, n2=n2, L=L)
-    interpret = jax.default_backend() == "cpu"
+    interpret = _use_interpret()
     out = pl.pallas_call(
         kern,
         grid=(B,),
@@ -316,7 +327,7 @@ def _ntt_pallas(x3, q, p1, p1s, ni1, ni1s, T, Ts, p2, p2s, ni2, ni2s,
     else:
         kern = functools.partial(_inv_kernel, n1=n1, n2=n2)
         args = (q2, p1, p1s, ni1, ni1s, T, Ts, p2, p2s, ni2, ni2s, x3)
-    interpret = jax.default_backend() == "cpu"
+    interpret = _use_interpret()
     return pl.pallas_call(
         kern,
         grid=(B,),
@@ -357,3 +368,83 @@ def ntt_inverse_pallas(x: jnp.ndarray, t: dict) -> jnp.ndarray:
         t["ss2_inv_psi_br"], t["ss2_inv_psi_br_shoup"], t["ss2_n_inv"],
         t["ss2_n_inv_shoup"], inverse=True)
     return out.reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# Pallas base-conversion kernel (round-4 joint MXU offload): the BEHZ
+# fast_convert_array dot y[o, k] = sum_i [x_i * (Q/q_i)^-1]_{q_i} * M[o, i]
+# mod p_o, with the input Shoup scaling, the int8 digit-plane split, the
+# limb-axis dot_generals, and the pairwise-folded recombination ALL inside
+# one VMEM-resident kernel (the XLA-level TROY_BCONV_BACKEND=mxu variant
+# materializes the 16 int32 partial planes to HBM and loses ~3x; measured
+# BENCH.md round 4).  Bit-identical to the VPU dot.
+# ---------------------------------------------------------------------------
+
+_BCONV_TILE = 512
+
+
+def _bconv_kernel(iq_ref, ip_ref, ips_ref, oq_ref, w_ref,
+                  pw16_ref, pws16_ref, c16_ref, pw8_ref, pws8_ref, c8_ref,
+                  x_ref, o_ref, *, L_in):
+    iq = iq_ref[...]                       # (L_in, 1)
+    x = x_ref[0]                           # (L_in, T)
+    tmp = U.shoup_mul(x, ip_ref[...], ips_ref[...], iq)
+    xl = split_balanced(tmp, iq)
+    oq = oq_ref[...]                       # (L_out, 1)
+
+    def P(i, j):
+        return jax.lax.dot_general(w_ref[i], xl[j], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    sc = ([pw16_ref[...][:, t : t + 1] for t in range(N_LIMBS)],
+          [pws16_ref[...][:, t : t + 1] for t in range(N_LIMBS)],
+          c16_ref[...],
+          [pw8_ref[...][:, s : s + 1] for s in range(N_DIAGS)],
+          [pws8_ref[...][:, s : s + 1] for s in range(N_DIAGS)],
+          c8_ref[...])
+    o_ref[...] = _kernel_recombine(P, *sc, oq, contraction=L_in)[None]
+
+
+@jax.jit
+def _bconv_pallas(x3, iq, ip, ips, oq, W, pw16, pws16, c16, pw8, pws8, c8):
+    B, L_in, n = x3.shape
+    L_out = W.shape[1]
+    T = min(_BCONV_TILE, n)
+    col = lambda b, c: (b, 0, c)
+    cvec = lambda r: pl.BlockSpec((r, 1), lambda b, c: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    ctab = lambda r, k: pl.BlockSpec((r, k), lambda b, c: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    in_specs = [
+        cvec(L_in), cvec(L_in), cvec(L_in), cvec(L_out),
+        pl.BlockSpec((N_LIMBS, L_out, L_in), lambda b, c: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        ctab(L_out, N_LIMBS), ctab(L_out, N_LIMBS), cvec(L_out),
+        ctab(L_out, N_DIAGS), ctab(L_out, N_DIAGS), cvec(L_out),
+        pl.BlockSpec((1, L_in, T), col, memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, L_out, T), col, memory_space=pltpu.VMEM)
+    kern = functools.partial(_bconv_kernel, L_in=L_in)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n // T),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L_out, n), jnp.uint32),
+        interpret=_use_interpret(),
+    )(iq[:, None], ip[:, None], ips[:, None], oq[:, None], W,
+      pw16, pws16, c16[:, None], pw8, pws8, c8[:, None], x3)
+    return out
+
+
+def bconv_pallas(x, tabs: dict) -> jnp.ndarray:
+    """x: (..., L_in, n) raw ibase residues -> (..., L_out, n) obase
+    residues (the full fast_convert_array including the input Shoup
+    scaling).  `tabs` from BaseConverter._pallas_tables()."""
+    import numpy as _np
+
+    lead = x.shape[:-2]
+    L_in, n = x.shape[-2], x.shape[-1]
+    B = int(_np.prod(lead)) if lead else 1
+    out = _bconv_pallas(x.reshape(B, L_in, n), *tabs["args"])
+    return out.reshape(lead + (out.shape[-2], n))

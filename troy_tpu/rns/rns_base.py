@@ -188,15 +188,19 @@ import os as _os
 
 # 'vpu' (default): wide (hi, lo) accumulation dot (one Barrett per output).
 # 'mxu': balanced int8 digit planes contracted over the input-limb axis on
-# the MXU with the pairwise-folded Shoup recombination (ops/ntt_mxu.py) —
-# bit-identical; the round-4 joint-MXU-offload experiment (BENCH.md
+# the MXU with the pairwise-folded Shoup recombination (ops/ntt_mxu.py) at
+# the XLA level — bit-identical but ~3x SLOWER on TPU (the 16 int32 partial
+# planes materialize to HBM; measured BENCH.md round 4), kept as the
+# documented negative result.
+# 'pallas': the same scheme fused into one VMEM-resident kernel
+# (ntt_pallas.bconv_pallas) — the round-4 joint-MXU-offload path (BENCH.md
 # roofline: bconv-family dots are ~44% of flagship multiplies).
 _BCONV_BACKEND = _os.environ.get("TROY_BCONV_BACKEND", "vpu")
 
 
 def set_bconv_backend(name: str):
     global _BCONV_BACKEND
-    if name not in ("vpu", "mxu"):
+    if name not in ("vpu", "mxu", "pallas"):
         raise ValueError(f"[set_bconv_backend] unknown backend {name}")
     _BCONV_BACKEND = name
 
@@ -225,20 +229,18 @@ class BaseConverter:
         self._mxu = None
 
     def _mxu_pack(self) -> dict:
+        # host numpy values (NOT jnp): convert() is called inside traces,
+        # and jnp constants created there would be cached as leaked tracers
         if self._mxu is None:
             from ..ops import ntt_mxu as MX
 
             (pow16, pow16_sh, pow8, pow8_sh,
              corr16, corr8) = MX._pow_tables(self.obase.moduli)
             self._mxu = {
-                "mat_planes": jnp.asarray(
-                    MX._balance_const(np.asarray(self._mat))),
-                "pow16": jnp.asarray(pow16),
-                "pow16_shoup": jnp.asarray(pow16_sh),
-                "pow8": jnp.asarray(pow8),
-                "pow8_shoup": jnp.asarray(pow8_sh),
-                "corr16": jnp.asarray(corr16),
-                "corr8": jnp.asarray(corr8),
+                "mat_planes": MX._balance_const(np.asarray(self._mat)),
+                "pow16": pow16, "pow16_shoup": pow16_sh,
+                "pow8": pow8, "pow8_shoup": pow8_sh,
+                "corr16": corr16, "corr8": corr8,
             }
         return self._mxu
 
@@ -266,8 +268,32 @@ class BaseConverter:
             mx["corr16"].reshape(sh), mx["corr8"].reshape(sh),
             op["q"].reshape(sh), contraction=self.ibase.size)
 
+    def _pallas_tables(self) -> dict:
+        """Host-numpy argument tuple for ntt_pallas.bconv_pallas (cached;
+        numpy so traced callers embed constants instead of leaking tracers)."""
+        if getattr(self, "_pallas_tabs", None) is None:
+            from ..ops import ntt_mxu as MX
+
+            (pow16, pow16_sh, pow8, pow8_sh,
+             corr16, corr8) = MX._pow_tables(self.obase.moduli)
+            ib = self.ibase
+            iq = np.array(ib.values, dtype=np.uint32)
+            ip = np.array(ib.inv_punctured, dtype=np.uint32)
+            ips = np.array([(p << 32) // v for p, v
+                            in zip(ib.inv_punctured, ib.values)],
+                           dtype=np.uint32)
+            oq = np.array(self.obase.values, dtype=np.uint32)
+            self._pallas_tabs = {"args": (
+                iq, ip, ips, oq, MX._balance_const(np.asarray(self._mat)),
+                pow16, pow16_sh, corr16, pow8, pow8_sh, corr8)}
+        return self._pallas_tabs
+
     def convert(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (..., L_in, n) residues in ibase -> (..., L_out, n) in obase."""
+        if _BCONV_BACKEND == "pallas":
+            from ..ops.ntt_pallas import bconv_pallas
+
+            return bconv_pallas(x, self._pallas_tables())
         ip = self.ibase.pack()
         op = self.obase.pack()
         lead = (1,) * (x.ndim - 2)
