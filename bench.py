@@ -23,6 +23,12 @@ import time
 
 import numpy as np
 
+# fastest measured TPU backend (BENCH.md round 4: balanced-int8 pallas_mxu
+# 2.65 ms vs sixstep 3.44 ms at the flagship); bit-identical to every other
+# backend and verified against the CPU radix-2 ground truth below.  Library
+# default stays sixstep (best on CPU); override with TROY_NTT_BACKEND.
+os.environ.setdefault("TROY_NTT_BACKEND", "pallas_mxu")
+
 BATCH = int(os.environ.get("TROY_BENCH_BATCH", "16"))
 REPS = int(os.environ.get("TROY_BENCH_REPS", "100"))
 N = int(os.environ.get("TROY_BENCH_N", "8192"))
@@ -71,7 +77,9 @@ def setup_cache():
     if all(os.path.exists(p) for p in (ct_path, keys_path, _cache_expected())):
         return
     _log("setup (cpu subprocess, cold cache)...")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # sixstep for the CPU-side ground truth (fastest there; all backends are
+    # bit-identical, so the device check below stays valid for any backend)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", TROY_NTT_BACKEND="sixstep")
     code = f"""
 import bench
 bench.N, bench.LIMBS, bench.CACHE = {N}, {LIMBS}, {CACHE!r}
