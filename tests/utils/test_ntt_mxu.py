@@ -54,3 +54,31 @@ def test_roundtrip_batched():
     # cross: forward mxu + inverse radix-2
     back2 = ntt_inverse(y, ref.pack())
     np.testing.assert_array_equal(np.asarray(back2), np.asarray(x))
+
+
+def test_large_contraction_fallback_roundtrip():
+    """n = 2^15 has a 256-wide matmul contraction: the pairwise int32 fold
+    would overflow, so recombination takes the 7-diagonal fallback and the
+    pallas kernel keeps the twiddle as a separate Shoup pass (single-plane
+    T16 tables).  Both the XLA einsum and the interpret-mode pallas kernel
+    must stay bit-identical to the radix-2 oracle."""
+    import jax
+
+    log_n = 15
+    ref, mxu = make(log_n, [30])
+    x = rand_x(ref)
+    pack = mxu.pack()
+    assert pack["T16"].shape[0] == 1  # single-plane (non-folded) tables
+    a = np.asarray(ntt_forward(x, ref.pack()))
+    b = np.asarray(ntt_forward_mxu(x, pack))
+    np.testing.assert_array_equal(a, b)
+    from troy_tpu.ops.ntt_pallas import _ntt_pallas_mxu
+
+    p = _ntt_pallas_mxu(
+        jnp.asarray(x)[None], pack["q"], pack["W1"], pack["W2"],
+        pack["T16"], pack["T16_shoup"], pack["Tcorr"],
+        pack["pow16"], pack["pow16_shoup"], pack["corr16"],
+        pack["pow8"], pack["pow8_shoup"], pack["corr8"], inverse=False)
+    np.testing.assert_array_equal(a, np.asarray(p)[0])
+    inv = np.asarray(ntt_inverse_mxu(jnp.asarray(b), pack))
+    np.testing.assert_array_equal(inv, np.asarray(x))

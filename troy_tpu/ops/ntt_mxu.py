@@ -259,6 +259,40 @@ class MxuNTTTables:
             pow8=pow8, pow8_shoup=pow8_sh, corr16=corr16, corr8=corr8,
             q=np.array([m.value for m in moduli], dtype=np.uint32),
         )
+        # twiddle-folded recombination weights (pallas kernel, pairwise-fold
+        # regime only): the mid-transform twiddle multiply collapses into
+        # the adjacent matmul's recombination — weight tables become the
+        # ELEMENTWISE T[l, r, c] * 2^(16t) mod q (and the +2^31-shift excess
+        # becomes the elementwise T * corr16), saving one full Shoup pass
+        # per transform.
+        if n1 <= PAIR_FOLD_MAX_K and n2 <= PAIR_FOLD_MAX_K:
+            qv = np.array([m.value for m in moduli],
+                          dtype=np.uint64)[:, None, None]
+            for name, base in (("T16", T), ("Ti16", Ti)):
+                b = base.astype(np.uint64)
+                rows = [b % qv]  # iterate <<16 mod q: stays under 2^46
+                for _ in range(N_LIMBS - 1):
+                    rows.append((rows[-1] << np.uint64(16)) % qv)
+                planes = np.stack(rows).astype(np.uint32)
+                self._host[name] = planes
+                sh = np.zeros_like(planes)
+                for l, mod in enumerate(moduli):
+                    sh[:, l] = ((planes[:, l].astype(np.uint64) << 32)
+                                // mod.value).astype(np.uint32)
+                self._host[name + "_shoup"] = sh
+                corr = (b * corr16.astype(np.uint64)[:, None, None]) % qv
+                self._host[name.replace("16", "corr")] = corr.astype(np.uint32)
+        else:
+            # contraction > 128: per-diagonal recombination, twiddle stays a
+            # separate Shoup pass — ship single-plane stacks (plane 0 = T)
+            # so the kernel signature is uniform without the 4x VMEM cost
+            self._host["T16"] = T[None]
+            self._host["T16_shoup"] = self._host["T_shoup"][None]
+            self._host["Ti16"] = Ti[None]
+            self._host["Ti16_shoup"] = self._host["Ti_shoup"][None]
+            z = np.zeros_like(T)
+            self._host["Tcorr"] = z
+            self._host["Ticorr"] = z
         self._device = None
 
     def pack(self) -> dict:
@@ -277,6 +311,8 @@ MXU_LIMB_AXIS = {
     "mxu_T": 0, "mxu_T_shoup": 0, "mxu_Ti": 0, "mxu_Ti_shoup": 0,
     "mxu_pow16": 0, "mxu_pow16_shoup": 0,
     "mxu_pow8": 0, "mxu_pow8_shoup": 0, "mxu_corr16": 0, "mxu_corr8": 0,
+    "mxu_T16": 1, "mxu_T16_shoup": 1, "mxu_Tcorr": 0,
+    "mxu_Ti16": 1, "mxu_Ti16_shoup": 1, "mxu_Ticorr": 0,
 }
 
 

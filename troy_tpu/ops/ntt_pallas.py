@@ -191,9 +191,22 @@ def _limb_scalars(refs, l):
             c8_ref[l, 0])
 
 
-def _fwd_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw16_ref, pws16_ref,
-                    c16_ref, pw8_ref, pws8_ref, c8_ref, x_ref, o_ref,
-                    *, n1, n2, L):
+def _limb_folded(refs, l):
+    """Recombination scalars with the mid-transform twiddle FOLDED in: the
+    pairwise-fold weights become the elementwise T * 2^(16t) mod q planes
+    and the shift excess becomes T * corr16 — one full Shoup pass per
+    transform disappears.  (pw8/corr8 fallback unused: the folded tables
+    are only built when both contractions are <= PAIR_FOLD_MAX_K.)"""
+    (t16_ref, t16s_ref, tc_ref) = refs
+    return ([t16_ref[t, l] for t in range(N_LIMBS)],
+            [t16s_ref[t, l] for t in range(N_LIMBS)],
+            tc_ref[l], None, None, None)
+
+
+def _fwd_kernel_mxu(q_ref, w1_ref, w2_ref, t16_ref, t16s_ref, tc_ref,
+                    pw16_ref, pws16_ref, c16_ref, pw8_ref, pws8_ref, c8_ref,
+                    x_ref, o_ref, *, n1, n2, L):
+    folded = n1 <= PAIR_FOLD_MAX_K and n2 <= PAIR_FOLD_MAX_K
     outs = []
     for l in range(L):
         q = q_ref[l, 0]
@@ -201,16 +214,21 @@ def _fwd_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw16_ref, pws16_ref,
                             pw8_ref, pws8_ref, c8_ref), l)
         x = x_ref[0, l]                                  # (n1, n2)
         w1 = [w1_ref[i, l] for i in range(N_LIMBS)]
-        a = _mxu_matmul_left(w1, x, sc, q)               # stage A
-        b = U.shoup_mul(a, t_ref[l], ts_ref[l], q)       # twiddle
+        if folded:
+            sct = _limb_folded((t16_ref, t16s_ref, tc_ref), l)
+            a = _mxu_matmul_left(w1, x, sct, q)          # stage A + twiddle
+        else:
+            a = U.shoup_mul(_mxu_matmul_left(w1, x, sc, q),
+                            t16_ref[0, l], t16s_ref[0, l], q)
         w2 = [w2_ref[i, l] for i in range(N_LIMBS)]
-        outs.append(_mxu_matmul_right(b, w2, sc, q))
+        outs.append(_mxu_matmul_right(a, w2, sc, q))
     o_ref[...] = jnp.stack(outs)[None]
 
 
-def _inv_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw16_ref, pws16_ref,
-                    c16_ref, pw8_ref, pws8_ref, c8_ref, x_ref, o_ref,
-                    *, n1, n2, L):
+def _inv_kernel_mxu(q_ref, w1_ref, w2_ref, t16_ref, t16s_ref, tc_ref,
+                    pw16_ref, pws16_ref, c16_ref, pw8_ref, pws8_ref, c8_ref,
+                    x_ref, o_ref, *, n1, n2, L):
+    folded = n1 <= PAIR_FOLD_MAX_K and n2 <= PAIR_FOLD_MAX_K
     outs = []
     for l in range(L):
         q = q_ref[l, 0]
@@ -218,18 +236,24 @@ def _inv_kernel_mxu(q_ref, w1_ref, w2_ref, t_ref, ts_ref, pw16_ref, pws16_ref,
                             pw8_ref, pws8_ref, c8_ref), l)
         x = x_ref[0, l]
         w2 = [w2_ref[i, l] for i in range(N_LIMBS)]
-        c = _mxu_matmul_right(x, w2, sc, q)
-        b = U.shoup_mul(c, t_ref[l], ts_ref[l], q)
+        if folded:
+            sct = _limb_folded((t16_ref, t16s_ref, tc_ref), l)
+            c = _mxu_matmul_right(x, w2, sct, q)         # stage + Ti twiddle
+        else:
+            c = U.shoup_mul(_mxu_matmul_right(x, w2, sc, q),
+                            t16_ref[0, l], t16s_ref[0, l], q)
         w1 = [w1_ref[i, l] for i in range(N_LIMBS)]
-        outs.append(_mxu_matmul_left(w1, b, sc, q))
+        outs.append(_mxu_matmul_left(w1, c, sc, q))
     o_ref[...] = jnp.stack(outs)[None]
 
 
-def _mxu_specs(L, n1, n2):
+def _mxu_specs(L, n1, n2, planes):
     w1 = pl.BlockSpec((N_LIMBS, L, n1, n1), lambda b: (0, 0, 0, 0),
                       memory_space=pltpu.VMEM)
     w2 = pl.BlockSpec((N_LIMBS, L, n2, n2), lambda b: (0, 0, 0, 0),
                       memory_space=pltpu.VMEM)
+    tw4 = pl.BlockSpec((planes, L, n1, n2), lambda b: (0, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
     tw = pl.BlockSpec((L, n1, n2), lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
     pw16 = pl.BlockSpec((L, N_LIMBS), lambda b: (0, 0),
                         memory_space=pltpu.SMEM)
@@ -238,17 +262,17 @@ def _mxu_specs(L, n1, n2):
     scal = pl.BlockSpec((L, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
     xspec = pl.BlockSpec((1, L, n1, n2), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    return [scal, w1, w2, tw, tw, pw16, pw16, scal, pw8, pw8, scal,
+    return [scal, w1, w2, tw4, tw4, tw, pw16, pw16, scal, pw8, pw8, scal,
             xspec], xspec
 
 
 @functools.partial(jax.jit, static_argnames=("inverse",))
-def _ntt_pallas_mxu(x3, q, W1, W2, T, Ts, pw16, pws16, c16, pw8, pws8, c8,
-                    inverse: bool):
+def _ntt_pallas_mxu(x3, q, W1, W2, T16, T16s, Tc, pw16, pws16, c16,
+                    pw8, pws8, c8, inverse: bool):
     B, L, n = x3.shape
     n1 = W1.shape[-1]
     n2 = n // n1
-    in_specs, out_spec = _mxu_specs(L, n1, n2)
+    in_specs, out_spec = _mxu_specs(L, n1, n2, T16.shape[0])
     kern = functools.partial(
         _inv_kernel_mxu if inverse else _fwd_kernel_mxu, n1=n1, n2=n2, L=L)
     interpret = _use_interpret()
@@ -259,8 +283,9 @@ def _ntt_pallas_mxu(x3, q, W1, W2, T, Ts, pw16, pws16, c16, pw8, pws8, c8,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, n1, n2), jnp.uint32),
         interpret=interpret,
-    )(q.reshape(-1, 1), W1, W2, T, Ts, pw16, pws16, c16.reshape(-1, 1),
-      pw8, pws8, c8.reshape(-1, 1), x3.reshape(B, L, n1, n2))
+    )(q.reshape(-1, 1), W1, W2, T16, T16s, Tc, pw16, pws16,
+      c16.reshape(-1, 1), pw8, pws8, c8.reshape(-1, 1),
+      x3.reshape(B, L, n1, n2))
     return out.reshape(B, L, n)
 
 
@@ -272,7 +297,8 @@ def ntt_forward_pallas_mxu(x: jnp.ndarray, t: dict, prefix: str = "mxu_") -> jnp
     B = int(_np.prod(lead)) if lead else 1
     p = prefix
     out = _ntt_pallas_mxu(x.reshape(B, L, n), t["q"], t[p + "W1"], t[p + "W2"],
-                          t[p + "T"], t[p + "T_shoup"], t[p + "pow16"],
+                          t[p + "T16"], t[p + "T16_shoup"], t[p + "Tcorr"],
+                          t[p + "pow16"],
                           t[p + "pow16_shoup"], t[p + "corr16"],
                           t[p + "pow8"], t[p + "pow8_shoup"], t[p + "corr8"],
                           inverse=False)
@@ -287,7 +313,8 @@ def ntt_inverse_pallas_mxu(x: jnp.ndarray, t: dict, prefix: str = "mxu_") -> jnp
     B = int(_np.prod(lead)) if lead else 1
     p = prefix
     out = _ntt_pallas_mxu(x.reshape(B, L, n), t["q"], t[p + "W1i"], t[p + "W2i"],
-                          t[p + "Ti"], t[p + "Ti_shoup"], t[p + "pow16"],
+                          t[p + "Ti16"], t[p + "Ti16_shoup"], t[p + "Ticorr"],
+                          t[p + "pow16"],
                           t[p + "pow16_shoup"], t[p + "corr16"],
                           t[p + "pow8"], t[p + "pow8_shoup"], t[p + "corr8"],
                           inverse=True)
