@@ -165,9 +165,14 @@ class MxuNTTTables:
     _cache: dict = {}
 
     def __init__(self, log_n: int, moduli: list[Modulus]):
+        import os as _os
+
         self.log_n = log_n
         self.n = n = 1 << log_n
-        a = log_n // 2
+        # TROY_NTT_SPLIT_A = log2(n1) overrides the square-ish default
+        # (same tuning knob as the sixstep backend, ops/ntt.py)
+        a = int(_os.environ.get("TROY_NTT_SPLIT_A", log_n // 2))
+        a = max(1, min(log_n - 1, a))
         self.n1 = n1 = 1 << a
         self.n2 = n2 = n // n1
         self.a = a
@@ -187,7 +192,7 @@ class MxuNTTTables:
 
         for l, mod in enumerate(moduli):
             q = mod.value
-            key = (log_n, q)
+            key = (log_n, q, a)  # split-dependent matrices
             if key in self._cache:
                 w1, t, w2, w1i, ti, w2i = self._cache[key]
             else:
@@ -316,9 +321,8 @@ MXU_LIMB_AXIS = {
 }
 
 
-def _factors(n: int) -> tuple[int, int]:
-    log_n = n.bit_length() - 1
-    n1 = 1 << (log_n // 2)
+def _factors(n: int, t: dict, prefix: str) -> tuple[int, int]:
+    n1 = t[prefix + "W1"].shape[-1]  # split comes from the table build
     return n1, n // n1
 
 
@@ -365,8 +369,8 @@ def ntt_forward_mxu(x: jnp.ndarray, t: dict, prefix: str = "") -> jnp.ndarray:
     """Forward negacyclic NTT, bit-identical to ops/ntt.ntt_forward.
     x: (..., L, n) u32 in [0, 2q).  `t` is either an MxuNTTTables.pack() or an
     NTTTables pack with merged mxu_* keys (prefix="mxu_")."""
-    n1, n2 = _factors(x.shape[-1])
     p = prefix
+    n1, n2 = _factors(x.shape[-1], t, p)
     lead = x.shape[:-1]
     X = x.reshape(lead + (n1, n2))
     A = _modular_matmul_left(t[p + "W1"], X, t, p)
@@ -378,8 +382,8 @@ def ntt_forward_mxu(x: jnp.ndarray, t: dict, prefix: str = "") -> jnp.ndarray:
 
 def ntt_inverse_mxu(x: jnp.ndarray, t: dict, prefix: str = "") -> jnp.ndarray:
     """Inverse negacyclic NTT, bit-identical to ops/ntt.ntt_inverse."""
-    n1, n2 = _factors(x.shape[-1])
     p = prefix
+    n1, n2 = _factors(x.shape[-1], t, p)
     lead = x.shape[:-1]
     X = x.reshape(lead + (n1, n2))
     C = _modular_matmul_right(X, t[p + "W2i"], t, p)
