@@ -246,3 +246,24 @@ def test_rescale_step_matches_object_api():
     for i, p in enumerate(prods):
         want = h.evaluator.rescale_to_next(p)
         np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want.data))
+
+
+def test_galois_step_ntt_form_matches_object_api():
+    """build_galois_step on an NTT-form scheme (BGV) — the permutation runs
+    in the NTT domain and the keyswitch target comes from an inverse
+    transform; must equal the object API bit-exactly."""
+    import jax
+    from troy_tpu.parallel.batched import BatchedEvaluator
+
+    h = make("BGV")
+    cd = h.context.first_context_data()
+    be = BatchedEvaluator(h.evaluator, cd)
+    glk = h.keygen.create_galois_keys()
+    ms = [h.random_simd(RNG) for _ in range(B)]
+    cts = [h.encrypt(m) for m in ms]
+    step, elts = be.build_rotate_rows_step(1)
+    keys = tuple(glk.key(e) for e in elts)
+    got = jax.jit(step)(be.stack(cts), keys)
+    for i, ct in enumerate(cts):
+        want = h.evaluator.rotate_rows(ct, 1, glk)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want.data))
