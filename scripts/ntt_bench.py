@@ -46,34 +46,45 @@ def main():
     print("device:", dev)
     xj = jax.device_put(xj, dev)
 
-    from troy_tpu.ops.ntt_pallas import ntt_forward_pallas
+    from troy_tpu.ops.ntt_pallas import ntt_forward_pallas, \
+        ntt_forward_pallas_mxu
 
     from jax import lax
 
     results = {}
+    reps_hi, reps_lo = 5 * reps, reps
     for name, fn, pack in [
         ("radix2", ntt_forward, rpack),
         ("sixstep", ntt_forward_sixstep, sspack),
         ("mxu", lambda a, t: ntt_forward_mxu(a, t), mpack),
         ("pallas", ntt_forward_pallas, sspack),
+        ("pallas_mxu", lambda a, t: ntt_forward_pallas_mxu(a, t, prefix=""),
+         mpack),
     ]:
-        # one jitted fori_loop chaining `reps` data-dependent transforms
-        # (out feeds back in), terminated by a one-element host readback:
-        # block_until_ready alone returns early on the remote platform
-        loop = jax.jit(lambda a, t=pack, f=fn: lax.fori_loop(
-            0, reps, lambda i, c: f(c, t), a))
-        warm = loop(xj)
-        _ = np.asarray(warm[(0,) * warm.ndim])
-        xp = jax.block_until_ready(xj ^ jnp.uint32(1))
-        _ = np.asarray(xp[(0,) * xp.ndim])
-        t0 = time.perf_counter()
-        out = loop(xp)
-        _ = np.asarray(out[(0,) * out.ndim])
-        dt = (time.perf_counter() - t0) / reps
+        # two-point slope of a jitted fori chain of data-dependent
+        # transforms, forced one-element readback (BENCH.md methodology:
+        # cancels the ~23 ms tunnel dispatch constant that inflated the
+        # round-2 numbers by ~12 us per poly-limb)
+        def timed(r):
+            loop = jax.jit(lambda a, t=pack, f=fn: lax.fori_loop(
+                0, r, lambda i, c: f(c, t), a))
+            warm = loop(xj)
+            _ = np.asarray(warm[(0,) * warm.ndim])
+            xp = jax.block_until_ready(xj ^ jnp.uint32(1))
+            _ = np.asarray(xp[(0,) * xp.ndim])
+            ts = []
+            for _i in range(2):
+                t0 = time.perf_counter()
+                out = loop(xp)
+                _ = np.asarray(out[(0,) * out.ndim])
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        dt = (timed(reps_hi) - timed(reps_lo)) / (reps_hi - reps_lo)
         per_poly_ns = dt / (B * L) * (1 << 14) / n * 1e9
         results[name] = per_poly_ns
-        print(f"{name:8s}: {dt*1e3:8.3f} ms/batch({B}x{L}x{n})  "
-              f"= {per_poly_ns:9.0f} ns per 2^14-poly-limb")
+        print(f"{name:10s}: {dt*1e3:8.3f} ms/batch({B}x{L}x{n})  "
+              f"= {per_poly_ns:9.0f} ns per 2^14-poly-limb", flush=True)
     return results
 
 
