@@ -82,3 +82,40 @@ def test_large_contraction_fallback_roundtrip():
     np.testing.assert_array_equal(a, np.asarray(p)[0])
     inv = np.asarray(ntt_inverse_mxu(jnp.asarray(b), pack))
     np.testing.assert_array_equal(inv, np.asarray(x))
+
+
+def test_pairwise_fold_adversarial_bounds():
+    """Stress the int32 bounds of the pairwise-folded recombination at the
+    maximum contraction length (K = PAIR_FOLD_MAX_K = 128): operands and
+    weights crafted so every balanced digit hits an extreme (-128 via
+    0x80 bytes) — the worst case of the |C| <= 0.76 * 2^31 analysis in the
+    module docstring.  Checked against a Python big-int oracle."""
+    from troy_tpu.ops import ntt_mxu as MX
+    from troy_tpu.core.modulus import Modulus
+
+    q = numth.get_prime(2 * 2048, 30)  # near-2^30 modulus, worst granularity
+    K = MX.PAIR_FOLD_MAX_K
+    M_COLS = 128
+    # values with 0x80 byte patterns force digits to -128 after balancing;
+    # clamp below q to stay valid residues
+    patterns = np.array([0x20808080, 0x1F808080, 0x20807F80, 0x00808080],
+                        dtype=np.uint64)
+    W_host = np.empty((K, K), dtype=np.uint32)
+    X_host = np.empty((K, M_COLS), dtype=np.uint32)
+    rng = np.random.default_rng(99)
+    for arr in (W_host, X_host):
+        pick = rng.integers(0, len(patterns), size=arr.shape)
+        arr[...] = (patterns[pick] % q).astype(np.uint32)
+    mods = [Modulus(q)]
+    t = {
+        "q": jnp.asarray(np.array([q], dtype=np.uint32)),
+    }
+    (pow16, pow16_sh, pow8, pow8_sh, corr16, corr8) = MX._pow_tables(mods)
+    t.update(pow16=jnp.asarray(pow16), pow16_shoup=jnp.asarray(pow16_sh),
+             pow8=jnp.asarray(pow8), pow8_shoup=jnp.asarray(pow8_sh),
+             corr16=jnp.asarray(corr16), corr8=jnp.asarray(corr8))
+    Wl = jnp.asarray(MX._balance_const(W_host[None]))  # (4, 1, K, K)
+    x = jnp.asarray(X_host[None])                      # (1, K, M)
+    got = np.asarray(MX._modular_matmul_left(Wl, x, t))
+    want = (W_host.astype(object) @ X_host.astype(object)) % q
+    np.testing.assert_array_equal(got[0], want.astype(np.uint64))
