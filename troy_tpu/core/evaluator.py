@@ -36,6 +36,19 @@ from ..utils import numth
 
 from .lwe_ops import LweOpsMixin
 
+import os as _os
+
+from ..rns.rns_base import _BCONV_BACKEND
+
+
+def _bfv_bconv_mode() -> str:
+    """BFV input-lift variant: 'hps' (default; plain fast conversion with
+    f32 alpha correction — fewer modmul passes, bounded extra noise) or
+    'behz' (reference-exact m_tilde/sm_mrq Montgomery pass).  Read at trace
+    time; the per-level jit cache is keyed by the mode."""
+    v = _os.environ.get("TROY_BFV_BCONV", "hps").lower()
+    return "behz" if v == "behz" else "hps"
+
 
 def _make_centralizer(cd: ContextData):
     """Width-appropriate scaler used for BGV centered lifts."""
@@ -311,7 +324,8 @@ class Evaluator(LweOpsMixin):
                 return lambda x: self.bfv_multiply_impl(cd, x, None)
             return lambda x1, x2: self.bfv_multiply_impl(cd, x1, x2)
 
-        fn = self._jit(cd, "bfv_square" if square else "bfv_multiply", builder)
+        tag = "bfv_square" if square else "bfv_multiply"
+        fn = self._jit(cd, f"{tag}:{_bfv_bconv_mode()}", builder)
         res = fn(ct1.data) if square else fn(ct1.data, ct2.data)
         out = ct1.clone()
         out.data = res
@@ -327,10 +341,14 @@ class Evaluator(LweOpsMixin):
         qtab = cd.qtab()
         btab = tool.bsk_ntt.pack()
         t = cd.parms.plain_modulus.value
+        mode = _bfv_bconv_mode()
 
         def prep(x):
             x_q = R.ntt_forward(x, qtab)                    # step 3 (q)
-            x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)        # steps 1-2
+            if mode == "hps":
+                x_b = tool.fast_b_conv_hps(x)               # HPS lift
+            else:
+                x_b = tool.fast_b_conv_m_tilde_sm_mrq(x)    # steps 1-2
             return x_q, R.ntt_forward(x_b, btab)            # step 3 (Bsk)
 
         a_q, a_b = prep(x1)
@@ -342,6 +360,10 @@ class Evaluator(LweOpsMixin):
             d_b = R.dyadic_convolute(a_b, b_b, btab)
         d_q = R.ntt_inverse(d_q, qtab)                      # step 5
         d_b = R.ntt_inverse(d_b, btab)
+        if _BCONV_BACKEND == "vpu":
+            # ×t (BEHZ "multiply by t") folds into fast_floor's constant
+            # tables — bit-identical output, one full modmul pass saved
+            return tool.fast_floor_scale_fast_b_conv_sk(d_q, d_b)
         d_q = R.multiply_scalar(d_q, t, qtab)                   # x t
         d_b = R.multiply_scalar(d_b, t, btab)
         return tool.fast_floor_fast_b_conv_sk(d_q, d_b)         # steps 6-8

@@ -141,6 +141,34 @@ class RNSTool:
         w, ws = _shoup_arr([(B_prod * m_sk) % q for q in q_values], q_values)
         self.prod_B_m_sk_mod_q, self.prod_B_m_sk_mod_q_shoup = _col(w), _col(ws)
 
+        # ---- HPS-style lift constants (fast_b_conv_hps) --------------------
+        # -Q mod b_j folded as the alpha-correction dot term; 1/q_i as f32
+        # for the alpha estimate (error < L * 2^-23 << the q-fraction margin).
+        self.hps_neg_q_mod_Bsk = _col(
+            np.array([(b - Q % b) % b for b in bsk_vals], dtype=np.uint32))
+        self.hps_inv_q_f32 = jnp.asarray(
+            np.array([1.0 / q for q in q_values], dtype=np.float32))[:, None]
+
+        # ---- t-folded fast_floor constants (fast_floor_scale_fast_b_conv_sk:
+        # the evaluator's explicit "multiply by t" pass over both bases folds
+        # into these tables; outputs stay bit-identical) ---------------------
+        if t is not None and not t.is_zero:
+            tv = t.value
+            w, ws = _shoup_arr(
+                [(tv * ip) % q for ip, q in
+                 zip(base_q.inv_punctured, q_values)], q_values)
+            self.ff_inv_punc_t, self.ff_inv_punc_t_shoup = _col(w), _col(ws)
+            w, ws = _shoup_arr(
+                [(tv * numth.invert_mod(Q % b, b)) % b for b in bsk_vals],
+                bsk_vals)
+            self.ff_t_qinv_mod_Bsk, self.ff_t_qinv_mod_Bsk_shoup = _col(w), _col(ws)
+            ffm = np.empty((len(bsk_vals), L), dtype=np.uint32)
+            for j, bv in enumerate(bsk_vals):
+                qinv = numth.invert_mod(Q % bv, bv)
+                for i, punc in enumerate(base_q.punctured):
+                    ffm[j, i] = (punc % bv) * qinv % bv
+            self.ff_mat_qinv = jnp.asarray(ffm)
+
         # ---- q_last division (modswitch / rescale) -------------------------
         if L > 1:
             q_last = q_values[-1]
@@ -252,6 +280,41 @@ class RNSTool:
         )
 
     # ------------------------------------------------------------------
+    # BFV multiply, HPS-style lift (fills the role of BEHZ steps 1-2;
+    # ref intent: rns_tool.cu fast_b_conv_m_tilde_sm_mrq, replaced by the
+    # HPS17 §4 approximate conversion)
+    # ------------------------------------------------------------------
+    def fast_b_conv_hps(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (..., L, n) in base q -> (..., |Bsk|, n): a plain fast
+        conversion with the q-overflow count alpha estimated in f32 and
+        folded into the accumulation dot as ONE extra term, instead of the
+        BEHZ m_tilde scale + Montgomery (sm_mrq) passes.  Output residues
+        represent x + d*q with d in {-1, 0, +1}: the f32 estimate of
+        alpha = floor(sum_i y_i/q_i) has error < L*2^-23, so the rounded
+        alpha is off by at most one; the residual q-multiple is absorbed
+        as bounded ciphertext noise (HPS17 §4 / Lattigo BFV), while every
+        downstream BEHZ magnitude bound (inputs < 2q) is preserved."""
+        qp = self.base_q.pack()
+        lead = (1,) * (x.ndim - 2)
+        tmp = U.shoup_mul(
+            x,
+            qp["inv_punctured"].reshape(lead + (-1, 1)),
+            qp["inv_punctured_shoup"].reshape(lead + (-1, 1)),
+            qp["q"].reshape(lead + (-1, 1)),
+        )
+        est = jnp.sum(
+            tmp.astype(jnp.float32) * self.hps_inv_q_f32.reshape(lead + (-1, 1)),
+            axis=-2, keepdims=True)
+        alpha = jnp.round(est).astype(jnp.uint32)
+        mat = self.conv_q_to_Bsk._mat
+        pairs = [
+            (tmp[..., i : i + 1, :], mat[:, i].reshape(lead + (-1, 1)))
+            for i in range(self.base_q.size)
+        ] + [(alpha, self.hps_neg_q_mod_Bsk.reshape(lead + (-1, 1)))]
+        b, bhi, blo = self._tab(self.base_Bsk, x)
+        return U.dot_mod(pairs, b, bhi, blo)
+
+    # ------------------------------------------------------------------
     # BFV multiply: BEHZ steps 6-8 (ref: rns_tool.cu fast_floor_fast_b_conv_sk)
     # ------------------------------------------------------------------
     def fast_floor_fast_b_conv_sk(self, w_q: jnp.ndarray, w_bsk: jnp.ndarray) -> jnp.ndarray:
@@ -262,7 +325,38 @@ class RNSTool:
         conv = self.conv_q_to_Bsk.convert(w_q)
         y = U.sub_mod(w_bsk, conv, b)
         y = U.shoup_mul(y, self.inv_prod_q_mod_Bsk, self.inv_prod_q_mod_Bsk_shoup, b)
-        # fastbconv_sk: Shenoy-Kumaresan exact conversion Bsk -> q
+        return self._b_conv_sk(y)
+
+    def fast_floor_scale_fast_b_conv_sk(self, d_q: jnp.ndarray,
+                                        d_bsk: jnp.ndarray) -> jnp.ndarray:
+        """Fused BEHZ steps 5b-8 with the ×t scale folded into constants.
+
+        Inputs are the RAW tensor residues d = c1*c2 (coeff domain, both
+        bases); computes floor(t*d/Q) and Shenoy-converts to q.  The
+        separate multiply_scalar(t) pass over both bases (BEHZ "multiply by
+        t", ref evaluator.cu:29-117) is absorbed into (t*q̂_i^-1 mod q_i)
+        and (t*Q^-1 mod b_j) Shoup tables, and the fast_floor division by Q
+        into the conversion matrix ((Q/q_i)*Q^-1 mod b_j) — computing the
+        SAME integer (t*D - X)/Q, so outputs are bit-identical to the
+        unfused path at zero added arithmetic."""
+        b, bhi, blo = self._tab(self.base_Bsk, d_bsk)
+        qp = self.base_q.pack()
+        lead = (1,) * (d_q.ndim - 2)
+        y = U.shoup_mul(
+            d_q, self.ff_inv_punc_t, self.ff_inv_punc_t_shoup,
+            qp["q"].reshape(lead + (-1, 1)))
+        pairs = [
+            (y[..., i : i + 1, :], self.ff_mat_qinv[:, i].reshape(lead + (-1, 1)))
+            for i in range(self.base_q.size)
+        ]
+        x_div = U.dot_mod(pairs, b, bhi, blo)
+        w = U.shoup_mul(
+            d_bsk, self.ff_t_qinv_mod_Bsk, self.ff_t_qinv_mod_Bsk_shoup, b)
+        return self._b_conv_sk(U.sub_mod(w, x_div, b))
+
+    def _b_conv_sk(self, y: jnp.ndarray) -> jnp.ndarray:
+        """fastbconv_sk: Shenoy-Kumaresan exact conversion Bsk -> q
+        (ref: rns_tool.cu fast_b_conv_sk)."""
         y_B = y[..., :-1, :]
         y_msk = y[..., -1:, :]
         u = self.conv_B_to_q.convert(y_B)

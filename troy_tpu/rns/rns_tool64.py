@@ -151,6 +151,30 @@ class RNSTool64:
         self.prod_B_m_sk_mod_q = _pair_cols(
             [(B_prod * m_sk) % q for q in q_values])
 
+        # ---- HPS-style lift constants (fast_b_conv_hps) -------------------
+        self.hps_neg_q_mod_Bsk = _pair_cols([(b - Q % b) % b for b in bsk_vals])
+        self.hps_inv_q_hi_f32 = jnp.asarray(np.array(
+            [float(1 << 32) / q for q in q_values], dtype=np.float32))[:, None]
+        self.hps_inv_q_lo_f32 = jnp.asarray(np.array(
+            [1.0 / q for q in q_values], dtype=np.float32))[:, None]
+
+        # ---- t-folded fast_floor constants (see rns_tool.py
+        # fast_floor_scale_fast_b_conv_sk — same fold at pair width) --------
+        if t is not None and not t.is_zero:
+            tv = t.value
+            self.ff_inv_punc_t, self.ff_inv_punc_t_shoup = _shoup_pair_cols(
+                [(tv * ip) % q for ip, q in
+                 zip(base_q.inv_punctured, q_values)], q_values)
+            self.ff_t_qinv_mod_Bsk, self.ff_t_qinv_mod_Bsk_shoup = \
+                _shoup_pair_cols(
+                    [(tv * numth.invert_mod(Q % b, b)) % b for b in bsk_vals],
+                    bsk_vals)
+            self.ff_mat_qinv = [
+                _pair_cols([(punc % b) * numth.invert_mod(Q % b, b) % b
+                            for b in bsk_vals])
+                for punc in base_q.punctured
+            ]
+
         # ---- q_last division (modswitch / rescale) ------------------------
         if L > 1:
             q_last = q_values[-1]
@@ -252,6 +276,35 @@ class RNSTool64:
             bh, bl))
 
     # ------------------------------------------------------------------
+    # BFV multiply, HPS-style lift (fills the role of BEHZ steps 1-2;
+    # see rns_tool.py fast_b_conv_hps — same scheme at pair width)
+    # ------------------------------------------------------------------
+    def fast_b_conv_hps(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (..., 2, L, n) in base q -> (..., 2, |Bsk|, n) representing
+        x + d*q, d in {-1, 0, +1}: plain fast conversion with the overflow
+        count alpha estimated in f32 from the (hi, lo) words and folded into
+        the 128-bit accumulation dot as one extra term (HPS17 §4)."""
+        conv = self.conv_q_to_Bsk
+        h, l = R.hi_lo(x)
+        th, tl = W.shoup_mul64(
+            h, l, conv.inv_punc[0], conv.inv_punc[1],
+            conv.inv_punc_shoup[0], conv.inv_punc_shoup[1],
+            conv.iq[0], conv.iq[1])
+        lead = (1,) * (th.ndim - 2)
+        est = jnp.sum(
+            th.astype(jnp.float32) * self.hps_inv_q_hi_f32.reshape(lead + (-1, 1))
+            + tl.astype(jnp.float32) * self.hps_inv_q_lo_f32.reshape(lead + (-1, 1)),
+            axis=-2, keepdims=True)
+        alpha = jnp.round(est).astype(jnp.uint32)
+        pairs = [
+            ((th[..., i : i + 1, :], tl[..., i : i + 1, :]), conv.mat[i])
+            for i in range(self.base_q.size)
+        ] + [((jnp.zeros_like(alpha), alpha), self.hps_neg_q_mod_Bsk)]
+        acc = W.dot_mod64(pairs, conv.oq[0], conv.oq[1], *conv.oratio,
+                          conv.max_terms)
+        return R.pair(*acc)
+
+    # ------------------------------------------------------------------
     # BFV multiply: BEHZ steps 6-8 (ref: rns_tool.cu fast_floor_fast_b_conv_sk)
     # ------------------------------------------------------------------
     def fast_floor_fast_b_conv_sk(self, w_q: jnp.ndarray, w_bsk: jnp.ndarray) -> jnp.ndarray:
@@ -262,8 +315,36 @@ class RNSTool64:
             yh, yl, self.inv_prod_q_mod_Bsk[0], self.inv_prod_q_mod_Bsk[1],
             self.inv_prod_q_mod_Bsk_shoup[0], self.inv_prod_q_mod_Bsk_shoup[1],
             bh, bl)
-        y = R.pair(yh, yl)
-        # fastbconv_sk: Shenoy-Kumaresan exact conversion Bsk -> q
+        return self._b_conv_sk(R.pair(yh, yl))
+
+    def fast_floor_scale_fast_b_conv_sk(self, d_q: jnp.ndarray,
+                                        d_bsk: jnp.ndarray) -> jnp.ndarray:
+        """Fused BEHZ steps 5b-8 with the ×t scale folded into constants —
+        pair-width twin of rns_tool.py fast_floor_scale_fast_b_conv_sk
+        (bit-identical outputs; saves the full multiply_scalar pair pass
+        over both bases)."""
+        bh, bl = self.bsk_cols
+        h, l = R.hi_lo(d_q)
+        qh, ql = self.q_cols
+        yh, yl = W.shoup_mul64(
+            h, l, self.ff_inv_punc_t[0], self.ff_inv_punc_t[1],
+            self.ff_inv_punc_t_shoup[0], self.ff_inv_punc_t_shoup[1], qh, ql)
+        pairs = [
+            ((yh[..., i : i + 1, :], yl[..., i : i + 1, :]), self.ff_mat_qinv[i])
+            for i in range(self.base_q.size)
+        ]
+        xdh, xdl = W.dot_mod64(pairs, bh, bl, *self.bsk_ratio,
+                               self.conv_q_to_Bsk.max_terms)
+        wh, wl = W.shoup_mul64(
+            *R.hi_lo(d_bsk), self.ff_t_qinv_mod_Bsk[0], self.ff_t_qinv_mod_Bsk[1],
+            self.ff_t_qinv_mod_Bsk_shoup[0], self.ff_t_qinv_mod_Bsk_shoup[1],
+            bh, bl)
+        return self._b_conv_sk(R.pair(*W.sub_mod64(wh, wl, xdh, xdl, bh, bl)))
+
+    def _b_conv_sk(self, y: jnp.ndarray) -> jnp.ndarray:
+        """fastbconv_sk: Shenoy-Kumaresan exact conversion Bsk -> q
+        (ref: rns_tool.cu fast_b_conv_sk)."""
+        yh, yl = R.hi_lo(y)
         y_B = y[..., :-1, :]
         y_msk_h = yh[..., -1:, :]
         y_msk_l = yl[..., -1:, :]
