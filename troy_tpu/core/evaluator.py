@@ -38,16 +38,20 @@ from .lwe_ops import LweOpsMixin
 
 import os as _os
 
-from ..rns.rns_base import _BCONV_BACKEND
+from ..rns import rns_base as _rns_base
 
 
 def _bfv_bconv_mode() -> str:
     """BFV input-lift variant: 'hps' (default; plain fast conversion with
     f32 alpha correction — fewer modmul passes, bounded extra noise) or
     'behz' (reference-exact m_tilde/sm_mrq Montgomery pass).  Read at trace
-    time; the per-level jit cache is keyed by the mode."""
-    v = _os.environ.get("TROY_BFV_BCONV", "hps").lower()
-    return "behz" if v == "behz" else "hps"
+    time; the per-level jit cache is keyed by the mode.  Unknown values
+    raise rather than silently selecting the approximate lift."""
+    v = _os.environ.get("TROY_BFV_BCONV", "hps").strip().lower()
+    if v not in ("hps", "behz"):
+        raise ValueError(
+            f"[Evaluator] TROY_BFV_BCONV={v!r} — expected 'hps' or 'behz'")
+    return v
 
 
 def _make_centralizer(cd: ContextData):
@@ -325,7 +329,10 @@ class Evaluator(LweOpsMixin):
             return lambda x1, x2: self.bfv_multiply_impl(cd, x1, x2)
 
         tag = "bfv_square" if square else "bfv_multiply"
-        fn = self._jit(cd, f"{tag}:{_bfv_bconv_mode()}", builder)
+        fn = self._jit(
+            cd,
+            f"{tag}:{_bfv_bconv_mode()}:{_rns_base.get_bconv_backend()}",
+            builder)
         res = fn(ct1.data) if square else fn(ct1.data, ct2.data)
         out = ct1.clone()
         out.data = res
@@ -360,7 +367,7 @@ class Evaluator(LweOpsMixin):
             d_b = R.dyadic_convolute(a_b, b_b, btab)
         d_q = R.ntt_inverse(d_q, qtab)                      # step 5
         d_b = R.ntt_inverse(d_b, btab)
-        if _BCONV_BACKEND == "vpu":
+        if _rns_base.get_bconv_backend() == "vpu":
             # ×t (BEHZ "multiply by t") folds into fast_floor's constant
             # tables — bit-identical output, one full modmul pass saved
             return tool.fast_floor_scale_fast_b_conv_sk(d_q, d_b)

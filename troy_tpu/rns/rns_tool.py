@@ -293,7 +293,13 @@ class RNSTool:
         alpha = floor(sum_i y_i/q_i) has error < L*2^-23, so the rounded
         alpha is off by at most one; the residual q-multiple is absorbed
         as bounded ciphertext noise (HPS17 §4 / Lattigo BFV), while every
-        downstream BEHZ magnitude bound (inputs < 2q) is preserved."""
+        downstream BEHZ magnitude bound (inputs < 2q) is preserved.
+
+        VPU-only by design: this path always runs the wide-accumulation
+        VPU dot (reaching into conv_q_to_Bsk._mat) and deliberately
+        ignores TROY_BCONV_BACKEND — the mxu/pallas bconv variants are
+        documented measured negatives (BENCH.md), and the alpha term
+        must join the same accumulation dot to stay one fused pass."""
         qp = self.base_q.pack()
         lead = (1,) * (x.ndim - 2)
         tmp = U.shoup_mul(
