@@ -204,3 +204,21 @@ def test_add128():
         want = (x + y) % (1 << 128)
         out = sum(int(g[3 - k][i]) << (32 * k) for k in range(4))
         assert out == want, f"add128 mismatch at {i}"
+
+
+def test_mul64_wide_karatsuba_bit_identical():
+    """mul64_wide_k (3-partial-product Karatsuba, a measured VPU negative —
+    see its docstring / BENCH.md) must stay bit-identical to mul64_wide."""
+    a = _rand_u64((4096,))
+    b = _rand_u64((4096,))
+    edge = np.array([0, 1, M64, 0xFFFFFFFF00000000, 0x00000000FFFFFFFF,
+                     0x8000000000000000, 0x0000FFFF0000FFFF], dtype=np.uint64)
+    a = np.concatenate([a, np.repeat(edge, len(edge))])
+    b = np.concatenate([b, np.tile(edge, len(edge))])
+    ah, al = _pairs(a)
+    bh, bl = _pairs(b)
+    ref = W.mul64_wide(ah, al, bh, bl)
+    got = jax.jit(W.mul64_wide_k)(ah, al, bh, bl)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g),
+                                      err_msg=f"word {3 - i}")

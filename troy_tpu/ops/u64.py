@@ -143,6 +143,53 @@ def mul64_hi(a_hi, a_lo, b_hi, b_lo):
     return w3, w2
 
 
+def mul64_wide_k(a_hi, a_lo, b_hi, b_lo):
+    """Karatsuba 64x64 -> 128: THREE 32x32 partial products instead of four
+    (12 16-bit limb multiplies instead of 16), at the cost of ~15 extra
+    cheap VPU ops (diffs, sign selects, carry chains).
+
+    MEASURED NEGATIVE on TPU v5e (kept in-tree with a bit-identity test,
+    like the bconv MXU variants): 3.7x SLOWER than the schoolbook
+    mul64_wide in a chained elementwise microbenchmark
+    (scripts/vpu_opcost.py — schoolbook 20.9 ps/elem vs 77.0).  The VPU
+    executes the 16-bit limb products inside mul32_wide at ~1.9 T
+    mults/s, far above the add/select throughput needed for the extra
+    carry/sign bookkeeping, so trading one 32x32 partial product for
+    ~15 compare/select/add ops loses badly.  Do NOT wire this into the
+    butterfly/dot hot paths.
+
+    Subtractive variant (no 33-bit cross sums): with
+    D = (a_lo - a_hi)(b_lo - b_hi) (signed, |D| < 2^64),
+    middle = a_lo*b_hi + a_hi*b_lo = t0 + t3 - D, where t0 = a_lo*b_lo and
+    t3 = a_hi*b_hi.  middle < 2^65 is carried as a (bit, hi, lo) triple.
+    Bit-identical to mul64_wide (tests/utils/test_u64.py compares them).
+    Ref intent: basics.h:579 multiply_uint64_uint64 (one PTX mul.hi.u64
+    there; the multiplier-vs-adder trade only exists on the TPU VPU)."""
+    t0h, t0l = mul32_wide(a_lo, b_lo)
+    t3h, t3l = mul32_wide(a_hi, b_hi)
+    da = jnp.maximum(a_lo, a_hi) - jnp.minimum(a_lo, a_hi)
+    db = jnp.maximum(b_lo, b_hi) - jnp.minimum(b_lo, b_hi)
+    neg = (a_lo < a_hi) != (b_lo < b_hi)  # True -> D < 0 -> middle = u + tm
+    tmh, tml = mul32_wide(da, db)
+    uh, ul, c0 = add64c(t0h, t0l, t3h, t3l)
+    # both branches are cheap; select word-wise
+    ah_, al_, c1 = add64c(uh, ul, tmh, tml)
+    sh_, sl_ = sub64(uh, ul, tmh, tml)
+    borrow = (~geq64(uh, ul, tmh, tml)).astype(U32)
+    m_lo = jnp.where(neg, al_, sl_)
+    m_hi = jnp.where(neg, ah_, sh_)
+    m_2 = jnp.where(neg, c0 + c1, c0 - borrow)  # in {0, 1}: middle < 2^65
+    # assemble t3<<64 + middle<<32 + t0
+    w1 = t0h + m_lo
+    k1 = (w1 < t0h).astype(U32)
+    v = t3l + m_hi
+    k2 = (v < t3l).astype(U32)
+    w2 = v + k1
+    k2 = k2 + (w2 < v).astype(U32)
+    w3 = t3h + m_2 + k2
+    return w3, w2, w1, t0l
+
+
 # ---------------------------------------------------------------------------
 # Modular add/sub/neg for q < 2^63 (ref: uint_small_mod.h add_uint64_mod)
 # ---------------------------------------------------------------------------
