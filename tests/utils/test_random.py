@@ -119,3 +119,59 @@ def test_encryption_with_aes_prng():
     m = h.random_simd(rng)
     ct = enc_aes.encrypt_asymmetric(h.encoder.encode(m))
     np.testing.assert_array_equal(h.encoder.decode(h.decryptor.decrypt(ct)), m)
+
+
+def test_pure_key_twins_match_stateful_samplers():
+    """uniform/ternary/cbd_from_keys (the traceable twins used by the fused
+    encrypt kernels, core/rlwe.py) must reproduce the stateful threefry
+    stream draw-for-draw at both residue widths."""
+    import jax
+    from troy_tpu.utils.random import (uniform_from_keys, ternary_from_keys,
+                                       cbd_from_keys)
+    from troy_tpu.ops.ntt64 import NTT64Tables
+
+    wide_qtab = NTT64Tables(9, [numth.get_prime(1 << 10, 40),
+                                numth.get_prime(1 << 10, 60)]).pack()
+    for qtab in (QTAB, wide_qtab):
+        g_state = RandomGenerator(97)
+        g_keys = RandomGenerator(97)
+        keys = g_keys.next_key_pairs(3)
+        want_u = np.asarray(g_state.sample_uniform((2, N), qtab))
+        want_t = np.asarray(g_state.sample_ternary((N,), qtab))
+        want_c = np.asarray(g_state.sample_cbd((N,), qtab))
+        got_u = np.asarray(jax.jit(
+            lambda k: uniform_from_keys(k, (2, N), qtab))(keys[0]))
+        got_t = np.asarray(jax.jit(
+            lambda k: ternary_from_keys(k, (N,), qtab))(keys[1]))
+        got_c = np.asarray(jax.jit(
+            lambda k: cbd_from_keys(k, (N,), qtab))(keys[2]))
+        np.testing.assert_array_equal(want_u, got_u)
+        np.testing.assert_array_equal(want_t, got_t)
+        np.testing.assert_array_equal(want_c, got_c)
+
+
+def test_reserved_counter_fold_in_matches_stateful():
+    """reserve_counters + in-trace fold_in_keys (the zero-dispatch key
+    derivation the fused encrypt kernels use) must reproduce the stateful
+    stream, including with a TRACED uint32 counter."""
+    import jax
+    import jax.numpy as jnp
+    from troy_tpu.utils.random import uniform_from_keys, fold_in_keys
+
+    g_state = RandomGenerator(1234)
+    g_fused = RandomGenerator(1234)
+    want1 = np.asarray(g_state.sample_uniform((2, N), QTAB))
+    want2 = np.asarray(g_state.sample_uniform((2, N), QTAB))
+    ka, kb = g_fused.base_keys
+    c0 = g_fused.reserve_counters(2)
+
+    @jax.jit
+    def draw(a, b, c):
+        x1 = uniform_from_keys(fold_in_keys((a, b), c), (2, N), QTAB)
+        x2 = uniform_from_keys(fold_in_keys((a, b), c + 1), (2, N), QTAB)
+        return x1, x2
+
+    got1, got2 = draw(ka, kb, np.uint32(c0))
+    np.testing.assert_array_equal(want1, np.asarray(got1))
+    np.testing.assert_array_equal(want2, np.asarray(got2))
+    assert g_fused._counter == g_state._counter

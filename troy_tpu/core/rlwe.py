@@ -19,13 +19,23 @@ from .params import SchemeType
 from .context import ContextData
 from ..ops import rp as R
 from ..ops.jitu import safe_stack
-from ..utils.random import RandomGenerator, uniform_from_seed
+from ..utils.random import (RandomGenerator, uniform_from_seed,
+                            uniform_from_keys, ternary_from_keys,
+                            cbd_from_keys, fold_in_keys, _uniform_from_key)
 
 
 def _noise(cd: ContextData, prng: RandomGenerator, qtab, shape_n):
     """CBD noise lifted to limbs, coeff domain; BGV scales by t
     (ref: rlwe.cu noise sampling)."""
     e = prng.sample_cbd(shape_n, qtab)
+    if cd.parms.scheme == SchemeType.BGV:
+        e = R.multiply_scalar(e, cd.parms.plain_modulus.value, qtab)
+    return e
+
+
+def _noise_from_keys(cd: ContextData, keys, qtab, shape_n):
+    """Traceable twin of _noise for the fused sampling+combine kernels."""
+    e = cbd_from_keys(keys, shape_n, qtab)
     if cd.parms.scheme == SchemeType.BGV:
         e = R.multiply_scalar(e, cd.parms.plain_modulus.value, qtab)
     return e
@@ -93,6 +103,32 @@ def encrypt_zero_symmetric(
     qtab = cd.qtab()
     L = cd.coeff_modulus_size
     n = cd.parms.poly_modulus_degree
+    if prng.mode == "threefry":
+        # ONE fused kernel: PRF key derivation + expansion + sampling +
+        # combine all jitted (eager per-sampler/fold_in dispatch was ~95% of
+        # host encrypt latency).  Counter order matches the eager path: a
+        # (skipped when seeded), then e.
+        import jax
+        import numpy as _np
+
+        ka, kb = prng.base_keys
+        if seed is not None:
+            c0 = prng.reserve_counters(1)
+            fn = _jit(cd, f"rlwe_sym_fs{int(ntt_form)}", lambda: (
+                lambda s, sd, a, b, c: _symmetric_combine(
+                    cd, s, _uniform_from_key(jax.random.key(sd), (L, n), qtab),
+                    _noise_from_keys(cd, fold_in_keys((a, b), c), qtab, (n,)),
+                    ntt_form)))
+            return fn(sk_data, _np.uint64(seed), ka, kb, _np.uint32(c0))
+        c0 = prng.reserve_counters(2)
+
+        def _body(s, a, b, c):
+            au = uniform_from_keys(fold_in_keys((a, b), c), (L, n), qtab)
+            e = _noise_from_keys(cd, fold_in_keys((a, b), c + 1), qtab, (n,))
+            return _symmetric_combine(cd, s, au, e, ntt_form)
+
+        fn = _jit(cd, f"rlwe_sym_f{int(ntt_form)}", lambda: _body)
+        return fn(sk_data, ka, kb, _np.uint32(c0))
     if seed is not None:
         a_ntt = uniform_from_seed(seed, (L, n), qtab)
     else:
@@ -113,6 +149,22 @@ def encrypt_zero_asymmetric(
     pk_data: (2, [2,] L_key, n) NTT form — sliced to this level's limbs."""
     qtab = cd.qtab()
     n = cd.parms.poly_modulus_degree
+    if prng.mode == "threefry":
+        # fused key-derivation+sampling+combine (see encrypt_zero_symmetric);
+        # counter order matches the eager path: u, e0, e1
+        import numpy as _np
+
+        ka, kb = prng.base_keys
+        c0 = prng.reserve_counters(3)
+
+        def _body(pk, a, b, c):
+            u = ternary_from_keys(fold_in_keys((a, b), c), (n,), qtab)
+            e0 = _noise_from_keys(cd, fold_in_keys((a, b), c + 1), qtab, (n,))
+            e1 = _noise_from_keys(cd, fold_in_keys((a, b), c + 2), qtab, (n,))
+            return _asymmetric_combine(cd, pk, u, e0, e1, ntt_form)
+
+        fn = _jit(cd, f"rlwe_asym_f{int(ntt_form)}", lambda: _body)
+        return fn(pk_data, ka, kb, _np.uint32(c0))
     u = prng.sample_ternary((n,), qtab)
     e0 = _noise(cd, prng, qtab, (n,))
     e1 = _noise(cd, prng, qtab, (n,))

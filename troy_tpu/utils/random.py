@@ -40,6 +40,44 @@ def _bits2(keys, shape) -> jnp.ndarray:
         kb, shape, jnp.uint32)
 
 
+# ---------------------------------------------------------------------------
+# Pure key-parameterized samplers: traceable bodies of the threefry-mode
+# RandomGenerator.sample_* methods, for fusing the WHOLE sampling+combine
+# encryption into one jitted kernel (core/rlwe.py).  Each takes an explicit
+# (key_a, key_b) pair (as produced by RandomGenerator.next_key_pairs) and is
+# bit-identical to the corresponding stateful sampler call.
+# ---------------------------------------------------------------------------
+
+def uniform_from_keys(keys, shape, qtab: dict) -> jnp.ndarray:
+    """Traceable twin of sample_uniform (threefry mode), shape = (..., L, n)."""
+    if qtab.get("words", 1) == 2:
+        L = qtab["q_hi"].shape[0]
+        bits = _bits2(keys, (4,) + tuple(shape[:-2]) + (L, shape[-1]))
+        return _wide_uniform_from_bits(bits, qtab)
+    L = qtab["q"].shape[0]
+    bits = _bits2(keys, (2,) + tuple(shape[:-2]) + (L, shape[-1]))
+    return _uniform_from_bits(bits, shape, qtab)
+
+
+def ternary_from_keys(keys, shape_n, qtab: dict) -> jnp.ndarray:
+    """Traceable twin of sample_ternary (threefry mode), shape_n = (..., n)."""
+    if qtab.get("words", 1) == 2:
+        r = _bits2(keys, tuple(shape_n)) % U.U32(3)
+        e = jnp.where(r == 2, jnp.int32(-1), r.astype(jnp.int32))
+        return _wide_lift_small(e, qtab)
+    return _ternary_from_bits(_bits2(keys, tuple(shape_n)), qtab)
+
+
+def cbd_from_keys(keys, shape_n, qtab: dict) -> jnp.ndarray:
+    """Traceable twin of sample_cbd (threefry mode), shape_n = (..., n)."""
+    bits = _bits2(keys, (2,) + tuple(shape_n))
+    if qtab.get("words", 1) == 2:
+        a = jnp.bitwise_count(bits[0] & U.U32(_MASK21)).astype(jnp.int32)
+        b = jnp.bitwise_count(bits[1] & U.U32(_MASK21)).astype(jnp.int32)
+        return _wide_lift_small(a - b, qtab)
+    return _cbd_from_bits(bits, shape_n, qtab)
+
+
 @pack_jit
 def _uniform_from_bits(bits, shape, qtab: dict) -> jnp.ndarray:
     """Uniform residues in [0, q) per limb from a (2,)+(...,L,n) bit tensor:
@@ -135,6 +173,13 @@ def _cbd_from_bits(bits, shape_n, qtab: dict) -> jnp.ndarray:
     return lifted.astype(jnp.uint32)
 
 
+def fold_in_keys(base_keys, counter):
+    """Traceable twin of RandomGenerator._next_keys for a reserved counter
+    (int or traced scalar)."""
+    ka, kb = base_keys
+    return jax.random.fold_in(ka, counter), jax.random.fold_in(kb, counter)
+
+
 class RandomGenerator:
     """Stateful deterministic sampler (ref: random_generator.h:42-95).
 
@@ -181,6 +226,33 @@ class RandomGenerator:
         return (jax.random.fold_in(self._key_a, c),
                 jax.random.fold_in(self._key_b, c))
 
+    def next_key_pairs(self, k: int):
+        """Reserve k key pairs for use inside a fused jitted kernel via the
+        pure *_from_keys samplers, advancing the stream counter exactly as k
+        stateful sample_* calls would (threefry mode only)."""
+        if self.mode != "threefry":
+            raise ValueError("[RandomGenerator] next_key_pairs requires threefry")
+        return [self._next_keys() for _ in range(k)]
+
+    def reserve_counters(self, k: int) -> int:
+        """Reserve k stream positions and return the FIRST counter value —
+        the zero-dispatch variant of next_key_pairs: the fused kernel derives
+        pair i as fold_in_keys(base_keys, first + i) INSIDE its trace (an
+        eager fold_in costs a host XLA dispatch per call, ~1 ms each on CPU,
+        which dominated host encrypt latency)."""
+        if self.mode != "threefry":
+            raise ValueError("[RandomGenerator] reserve_counters requires threefry")
+        c = self._counter
+        self._counter += k
+        return c
+
+    @property
+    def base_keys(self):
+        """The per-generator PRF key pair, for passing into fused kernels
+        (jit ARGUMENTS, never trace constants: the per-level kernel cache is
+        shared across generator instances)."""
+        return self._key_a, self._key_b
+
     def _aes_words(self, count: int):
         """count uint32 words from the AES-CTR stream (block counter advances
         by the consumed blocks; matches random_generator.h:42-47 layout)."""
@@ -216,9 +288,7 @@ class RandomGenerator:
                 hi = (res >> 32).astype(np.uint32)
                 lo = (res & 0xFFFFFFFF).astype(np.uint32)
                 return jnp.stack([jnp.asarray(hi), jnp.asarray(lo)], axis=-3)
-            bits = _bits2(self._next_keys(),
-                          (4,) + tuple(shape[:-2]) + (L, shape[-1]))
-            return _wide_uniform_from_bits(bits, qtab)
+            return uniform_from_keys(self._next_keys(), shape, qtab)
         if self.mode == "aes":
             import numpy as np
             import math
@@ -233,10 +303,7 @@ class RandomGenerator:
                 hi, lo, qtab["q"].reshape(lead + (L, 1)),
                 qtab["ratio_hi"].reshape(lead + (L, 1)),
                 qtab["ratio_lo"].reshape(lead + (L, 1)))
-        L = qtab["q"].shape[0]
-        bits = _bits2(self._next_keys(),
-                      (2,) + tuple(shape[:-2]) + (L, shape[-1]))
-        return _uniform_from_bits(bits, shape, qtab)
+        return uniform_from_keys(self._next_keys(), shape, qtab)
 
     def sample_ternary(self, shape_n, qtab: dict) -> jnp.ndarray:
         if qtab.get("words", 1) == 2:
@@ -248,7 +315,7 @@ class RandomGenerator:
                 words = self._aes_words(count)
                 r = jnp.asarray((words % 3).reshape(shape_n).astype(np.uint32))
             else:
-                r = _bits2(self._next_keys(), tuple(shape_n)) % U.U32(3)
+                return ternary_from_keys(self._next_keys(), shape_n, qtab)
             # 0 -> 0, 1 -> 1, 2 -> -1 (same mapping as the u32 path)
             e = jnp.where(r == 2, jnp.int32(-1), r.astype(jnp.int32))
             return _wide_lift_small(e, qtab)
@@ -265,7 +332,7 @@ class RandomGenerator:
             e = r[..., None, :]
             return jnp.where(e == 2, q - U.U32(1),
                              jnp.broadcast_to(e, e.shape[:-2] + (L, e.shape[-1])))
-        return _ternary_from_bits(_bits2(self._next_keys(), tuple(shape_n)), qtab)
+        return ternary_from_keys(self._next_keys(), shape_n, qtab)
 
     def sample_cbd(self, shape_n, qtab: dict) -> jnp.ndarray:
         if qtab.get("words", 1) == 2:
@@ -279,10 +346,7 @@ class RandomGenerator:
                 b = np.bitwise_count(words[count:] & _MASK21).astype(np.int32)
                 e = jnp.asarray((a - b).reshape(shape_n))
             else:
-                bits = _bits2(self._next_keys(), (2,) + tuple(shape_n))
-                a = jnp.bitwise_count(bits[0] & U.U32(_MASK21)).astype(jnp.int32)
-                b = jnp.bitwise_count(bits[1] & U.U32(_MASK21)).astype(jnp.int32)
-                e = a - b
+                return cbd_from_keys(self._next_keys(), shape_n, qtab)
             return _wide_lift_small(e, qtab)
         if self.mode == "aes":
             import numpy as np
@@ -300,8 +364,7 @@ class RandomGenerator:
             lifted = jnp.where(ej < 0, q.astype(jnp.int32) + ej.astype(jnp.int32),
                                jnp.broadcast_to(ej, ej.shape[:-2] + (L, ej.shape[-1])).astype(jnp.int32))
             return lifted.astype(jnp.uint32)
-        bits = _bits2(self._next_keys(), (2,) + tuple(shape_n))
-        return _cbd_from_bits(bits, shape_n, qtab)
+        return cbd_from_keys(self._next_keys(), shape_n, qtab)
 
     def sample_cbd_signed(self, shape_n) -> jnp.ndarray:
         """Raw centered-binomial integers (int32), not limb-lifted."""
