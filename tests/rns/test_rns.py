@@ -195,3 +195,34 @@ def test_behz_pipeline_with_mxu_bconv():
     finally:
         RB.set_bconv_backend(prev)
     np.testing.assert_array_equal(y_vpu, y_mxu)
+
+
+def test_compose_centered_f64_host_matches_bigint():
+    """The f64 fixed-point fractional-CRT compose (host decode fast path)
+    must match float64(big-int compose, centered) to <= 2 ulp at every
+    magnitude, both widths."""
+    import numpy as np
+    from troy_tpu.rns.rns_base import RNSBase
+    from troy_tpu.core.modulus import Modulus
+    from troy_tpu.utils import numth
+
+    rng = np.random.default_rng(77)
+    for bits, L in ((30, 7), (60, 3)):
+        primes = numth.get_primes(1 << 8, bits, L)
+        base = RNSBase([Modulus(p) for p in primes])
+        arr = np.stack([rng.integers(0, p, 256, dtype=np.uint64)
+                        for p in primes])
+        comp = np.array(base.compose_array_host(arr), dtype=object)
+        want = np.where(comp > base.prod // 2, comp - base.prod,
+                        comp).astype(np.float64)
+        got = base.compose_centered_f64_host(arr)
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1)
+        assert rel.max() < 3 * 2 ** -52
+        # magnitude edges: +-1, Q//2, tiny and huge values
+        vals = [0, 1, 2, base.prod // 2, base.prod - 1, 12345]
+        e = np.stack([np.array([v % q for v in vals], dtype=np.uint64)
+                      for q in base.values])
+        ge = base.compose_centered_f64_host(e)
+        wexp = np.array([float(v if v <= base.prod // 2 else v - base.prod)
+                         for v in vals])
+        np.testing.assert_allclose(ge, wexp, rtol=1e-15)

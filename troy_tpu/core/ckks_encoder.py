@@ -92,16 +92,14 @@ class CKKSEncoder:
 
     @staticmethod
     def _compose_centered(data, cd: ContextData) -> np.ndarray:
-        """RNS residues -> centered float64 coefficients (host CRT)."""
+        """RNS residues -> centered float64 coefficients (host CRT; exact
+        u64 multi-word fast path, rns_base.compose_centered_f64_host)."""
         arr = np.asarray(data)
         if cd.wide:
             from ..ops.u64 import unpack64
 
             arr = unpack64(arr[0], arr[1])
-        Q = cd.base_q.prod
-        composed = np.array(cd.base_q.compose_array_host(arr), dtype=object)
-        return np.where(composed > Q // 2, composed - Q, composed
-                        ).astype(np.float64)
+        return cd.base_q.compose_centered_f64_host(arr)
 
     def encode(self, values, parms_id: ParmsID | None = None,
                scale: float = 2.0 ** 40) -> Plaintext:

@@ -112,22 +112,30 @@ class Encryptor:
         return Ciphertext(data, cd.parms_id, is_ntt_form=ntt_form, seed=seed)
 
     # ------------------------------------------------------------------
-    def _add_plain_impl(self, cd: ContextData, data, plain_data, cf_u32,
-                        is_rns: bool, plain_ntt: bool):
-        """Pure traceable message add onto a zero encryption."""
+    @staticmethod
+    def _plain_payload(cd: ContextData, plain_data, cf_u32, is_rns: bool,
+                       plain_ntt: bool):
+        """Pure traceable message payload in the ciphertext's domain
+        (shared by _add_plain_impl and the device-batched encrypt steps,
+        parallel/batched.BatchedClient)."""
         scheme = cd.parms.scheme
         qtab = cd.qtab()
         if scheme == SchemeType.BFV:
-            m = plain_data if is_rns else cd.scaler.scale_up(plain_data[0])
-        elif scheme == SchemeType.CKKS:
-            m = plain_data if plain_ntt else R.ntt_forward(plain_data, qtab)
-        else:  # BGV: special-prime encryption divided the phase by
-            # q_special — scale the payload to match (ref: encryptor.cu)
-            t = cd.parms.plain_modulus
-            pm = U.mul_mod(plain_data[0], cf_u32, U.u32(t.value),
-                           U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
-            m = R.ntt_forward(_centralize_bgv(cd, pm), qtab)
-        return data.at[0].set(R.add(data[0], m, qtab))
+            return plain_data if is_rns else cd.scaler.scale_up(plain_data[0])
+        if scheme == SchemeType.CKKS:
+            return plain_data if plain_ntt else R.ntt_forward(plain_data, qtab)
+        # BGV: special-prime encryption divided the phase by
+        # q_special — scale the payload to match (ref: encryptor.cu)
+        t = cd.parms.plain_modulus
+        pm = U.mul_mod(plain_data[0], cf_u32, U.u32(t.value),
+                       U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
+        return R.ntt_forward(_centralize_bgv(cd, pm), qtab)
+
+    def _add_plain_impl(self, cd: ContextData, data, plain_data, cf_u32,
+                        is_rns: bool, plain_ntt: bool):
+        """Pure traceable message add onto a zero encryption."""
+        m = self._plain_payload(cd, plain_data, cf_u32, is_rns, plain_ntt)
+        return data.at[0].set(R.add(data[0], m, cd.qtab()))
 
     def _add_plain(self, ct: Ciphertext, plain: Plaintext, cd: ContextData) -> Ciphertext:
         from .rlwe import _jit

@@ -400,18 +400,30 @@ def frac_crt_fixed(y, r_word_cols, K: int):
                 contrib[w + off + 1].append(hi)
     m16 = U.U32(0xFFFF)
     zero = jnp.zeros_like(proto)
-    carry = zero
-    acc: list = []
+    # per-word 64-bit sums, INDEPENDENT of each other (no carry chain yet)
+    s_his, s_los = [], []
     for k in range(K):
         if contrib[k]:
             s_lo = sum(jnp.sum(t & m16, axis=-2) for t in contrib[k])
             s_hi = sum(jnp.sum(t >> 16, axis=-2) for t in contrib[k])
             t_hi, t_lo = U.add64(s_hi >> 16, s_hi << 16, zero, s_lo)
-            t_hi2, t_lo2 = U.add64(t_hi, t_lo, zero, carry)
         else:
-            t_hi2, t_lo2 = U.add64(zero, zero, zero, carry)
-        acc.append(t_lo2)
-        carry = t_hi2
+            t_hi, t_lo = zero, zero
+        s_his.append(t_hi)
+        s_los.append(t_lo)
+    # carry propagation as a lax.scan LOOP: an unrolled K-deep carry chain
+    # is re-emitted per consumer by the XLA:CPU emitter (runtime exploded
+    # 10x from K=6 to K=7, and the K=7 TPU compile stalled >400 s; same
+    # pathology family as the jitu.safe_stack concatenate note).  The scan
+    # body is compiled ONCE; results are bit-identical.
+    from .jitu import safe_stack
+
+    def _carry_body(carry, s):
+        h2, l2 = U.add64(s[0], s[1], jnp.zeros_like(s[1]), carry)
+        return h2, l2
+
+    _, acc = jax.lax.scan(_carry_body, zero,
+                          (safe_stack(s_his), safe_stack(s_los)))
     # signed dd conversion of the top 4 words: two's-complement in the top
     # word gives the CENTERED fraction directly (no cancelling subtraction).
     # The top word is split 17+15 so both f32 halves are exact.

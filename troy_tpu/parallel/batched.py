@@ -205,3 +205,171 @@ class BatchedEvaluator:
         if scheme == SchemeType.CKKS:
             return lambda d: d[..., :-1, :]
         return lambda d: cd.rns_tool.mod_t_and_divide_q_last_ntt(d, qtab)
+
+
+class BatchedClient:
+    """Device-batched CLIENT operations (encrypt / decrypt / encode) as pure
+    jittable step builders on stacked (B, ...) arrays — the TPU counterpart
+    of the reference's device-side client bench columns (ref:
+    test/bench/he_operations.cu:15-50; device encryption kernels
+    src/utils/rlwe.cu:1-477, encoder kernels src/batch_encoder.cu:169-228).
+
+    Encryption steps draw fresh per-iteration randomness by folding a
+    data-dependent probe of the chained state into the PRF base keys, so a
+    chained fori_loop times genuinely fresh encryptions (nothing is
+    loop-invariant)."""
+
+    def __init__(self, context: HeContext, cd: ContextData):
+        self.context = context
+        self.cd = cd
+        cd.qtab()
+        if cd.parms.scheme == SchemeType.BFV:
+            cd.rns_tool.materialize()
+            cd.scaler  # materialize the lazy scale-up tables before tracing
+
+    @property
+    def _ntt_form(self) -> bool:
+        return self.cd.parms.scheme in (SchemeType.CKKS, SchemeType.BGV)
+
+    @staticmethod
+    def _probe(cur) -> jnp.ndarray:
+        """One u32 scalar of the chained state (data dependence anchor)."""
+        return cur.reshape(-1)[0]
+
+    def _payload(self, plain_data, plain_ntt: bool, is_rns: bool):
+        from ..core.encryptor import Encryptor
+        from ..ops import u32 as U
+
+        return Encryptor._plain_payload(self.cd, plain_data, U.u32(1),
+                                        is_rns, plain_ntt)
+
+    # -- encryption ---------------------------------------------------------
+    def build_encrypt_asymmetric_step(self, base_keys, plain_data=None,
+                                      plain_ntt: bool = False,
+                                      is_rns: bool = False):
+        """(cur, pk_data) -> fresh batch of asymmetric encryptions of
+        `plain_data` (or of zero), shape (B, 2, [2,] L, n)."""
+        from ..core.rlwe import _asymmetric_combine, _noise_from_keys
+        from ..utils.random import ternary_from_keys, fold_in_keys
+
+        cd = self.cd
+        qtab = cd.qtab()
+        n = cd.parms.poly_modulus_degree
+        ntt_form = self._ntt_form
+        m = (None if plain_data is None
+             else self._payload(plain_data, plain_ntt, is_rns))
+
+        def step(cur, pk):
+            B = cur.shape[0]
+            kc = fold_in_keys(base_keys, self._probe(cur))
+            u = ternary_from_keys(fold_in_keys(kc, 0), (B, n), qtab)
+            e0 = _noise_from_keys(cd, fold_in_keys(kc, 1), qtab, (B, n))
+            e1 = _noise_from_keys(cd, fold_in_keys(kc, 2), qtab, (B, n))
+            out = _asymmetric_combine(cd, pk, u, e0, e1, ntt_form)
+            out = jnp.moveaxis(out, 0, 1)  # (2, B, ...) -> (B, 2, ...)
+            if m is not None:
+                out = out.at[:, 0].set(R.add(out[:, 0], m, qtab))
+            return out
+
+        return step
+
+    def build_encrypt_symmetric_step(self, base_keys, plain_data=None,
+                                     plain_ntt: bool = False,
+                                     is_rns: bool = False):
+        """(cur, sk_data) -> fresh batch of symmetric encryptions."""
+        from ..core.rlwe import _symmetric_combine, _noise_from_keys
+        from ..utils.random import uniform_from_keys, fold_in_keys
+
+        cd = self.cd
+        qtab = cd.qtab()
+        L = cd.coeff_modulus_size
+        n = cd.parms.poly_modulus_degree
+        ntt_form = self._ntt_form
+        m = (None if plain_data is None
+             else self._payload(plain_data, plain_ntt, is_rns))
+
+        def step(cur, sk):
+            B = cur.shape[0]
+            kc = fold_in_keys(base_keys, self._probe(cur))
+            a = uniform_from_keys(fold_in_keys(kc, 0), (B, L, n), qtab)
+            e = _noise_from_keys(cd, fold_in_keys(kc, 1), qtab, (B, n))
+            out = jnp.moveaxis(_symmetric_combine(cd, sk, a, e, ntt_form),
+                               0, 1)
+            if m is not None:
+                out = out.at[:, 0].set(R.add(out[:, 0], m, qtab))
+            return out
+
+        return step
+
+    # -- decryption ---------------------------------------------------------
+    def build_decrypt_step(self, sk_pows, size: int = 2, inv_cf: int = 1):
+        """(cur) -> decrypted plaintext batch.
+
+        cur: (B, size, [2,] L, n) ciphertexts at this level; sk_pows:
+        [s, s^2, ...] at KEY level (sliced to this level's limbs inside).
+        Output: BFV/BGV (B, n) mod-t coefficients; CKKS (B, [2,] L, n)
+        NTT-form residues (the scheme's plaintext contract)."""
+        from ..ops import u32 as U
+
+        cd = self.cd
+        qtab = cd.qtab()
+        L = cd.coeff_modulus_size
+        scheme = cd.parms.scheme
+        ntt_form = self._ntt_form
+
+        def phase(cur):
+            if ntt_form:
+                acc = cur[:, 0]
+                for i in range(1, size):
+                    acc = R.add(acc, R.dyadic_product(
+                        cur[:, i], sk_pows[i - 1][..., :L, :], qtab), qtab)
+                return acc
+            acc = None
+            for i in range(1, size):
+                ci = R.ntt_forward(cur[:, i], qtab)
+                term = R.dyadic_product(ci, sk_pows[i - 1][..., :L, :], qtab)
+                acc = term if acc is None else R.add(acc, term, qtab)
+            return R.add(R.ntt_inverse(acc, qtab), cur[:, 0], qtab)
+
+        if scheme == SchemeType.BFV:
+            return lambda cur: cd.rns_tool.decrypt_scale_and_round(phase(cur))
+        if scheme == SchemeType.CKKS:
+            return phase
+        t = cd.parms.plain_modulus
+
+        def bgv_step(cur):
+            ph = R.ntt_inverse(phase(cur), qtab)
+            m = cd.rns_tool.decrypt_mod_t(ph)
+            return U.mul_mod(m, U.u32(inv_cf), U.u32(t.value),
+                             U.u32(t.ratio64_hi), U.u32(t.ratio64_lo))
+
+        return bgv_step
+
+    # -- SIMD batch encode / decode (BFV/BGV mod-t ring) --------------------
+    def build_batch_encode_step(self, encoder):
+        """(vals) -> coefficient encodings: vals (B, n) u32 slot values
+        mod t; output (B, n) u32 coefficients (an INTT mod t after the
+        matrix_reps index map, ref: batch_encoder.cu:169)."""
+        from ..ops.ntt import ntt_inverse
+
+        pos = jnp.asarray(encoder._slot_to_pos)
+        ttab = encoder.tables.pack()
+
+        def step(vals):
+            slots = jnp.zeros_like(vals).at[..., pos].set(vals)
+            return ntt_inverse(slots[..., None, :], ttab)[..., 0, :]
+
+        return step
+
+    def build_batch_decode_step(self, encoder):
+        """(coeffs) -> slot values (the forward NTT mod t + gather)."""
+        from ..ops.ntt import ntt_forward
+
+        pos = jnp.asarray(encoder._slot_to_pos)
+        ttab = encoder.tables.pack()
+
+        def step(coeffs):
+            evals = ntt_forward(coeffs[..., None, :], ttab)[..., 0, :]
+            return evals[..., pos]
+
+        return step

@@ -106,6 +106,113 @@ class RNSBase:
                 * self.punctured[i]
         return list(acc % self.prod)
 
+    def compose_centered_f64_host(self, arr: np.ndarray) -> np.ndarray:
+        """(L, n) residues -> CENTERED coefficients as float64, via a
+        fixed-point fractional CRT in u64 numpy (no Python big ints):
+
+            frac = sum_i (r_i * inv_punc_i mod q_i) * floor(2^(32K)/q_i)
+                   mod 2^(32K)            (exact integer accumulation)
+            value = centered(frac) * Q    (two f64 roundings)
+
+        K is sized so the fraction carries >= 53 significant bits for ANY
+        value magnitude (32K >= bits(Q) + 64), so the result matches
+        float64(compose_centered(...)) to <= 2 ulp relative at every
+        value magnitude (including +-1).  The
+        accumulation runs as TWO u64 einsums over (limb, word) — the
+        object-dtype compose cost ~11 ms/call at L=7, n=8192; this is ~3 ms.
+        (The device twin is ops/ddfft.frac_crt_fixed.)  Falls back to the
+        big-int path when f64 exponent range cannot hold Q."""
+        n = arr.shape[-1]
+        if self.prod.bit_length() > 900:
+            comp = np.array(self.compose_array_host(arr), dtype=object)
+            return np.where(comp > self.prod // 2, comp - self.prod,
+                            comp).astype(np.float64)
+        cache = getattr(self, "_fcrt_cache", None)
+        if cache is None:
+            # truncation of floor(2^(32K)/q_i) costs |err| <= L*q_i in
+            # 2^-(32K) frac units; for value=1 that must sit 53 bits below
+            # 1/Q: 32K >= bits(Q) + bits(L*q_max) + 53 (+ slack)
+            K = (self.prod.bit_length() + 128 + 31) // 32
+            W16 = 2 * K
+            r16 = np.zeros((self.size, W16), dtype=np.uint64)
+            for i, q in enumerate(self.values):
+                r = (1 << (32 * K)) // q
+                for w in range(W16):
+                    r16[i, w] = (r >> (16 * w)) & 0xFFFF
+            cache = (K, W16, r16)
+            self._fcrt_cache = cache
+        K, W16, r16 = cache
+        if self.size > 30:  # L*2^48 must stay under 2^53 for exact f64 sums
+            comp = np.array(self.compose_array_host(arr), dtype=object)
+            return np.where(comp > self.prod // 2, comp - self.prod,
+                            comp).astype(np.float64)
+        # c~_i = r_i * inv_punc_i mod q_i (u64-safe below 2^31, object above)
+        ctil = np.empty((self.size, n), dtype=np.uint64)
+        for i, q in enumerate(self.values):
+            if q < (1 << 31):
+                ctil[i] = (arr[i].astype(np.uint64)
+                           * np.uint64(self.inv_punctured[i])) % np.uint64(q)
+            else:
+                ctil[i] = np.asarray(
+                    arr[i].astype(object) * self.inv_punctured[i] % q,
+                    dtype=np.uint64)
+        # acc16[p] = sum_{l, c, j: j+2c=p} ctil_chunk[l,c] * r16[l,j].
+        # The WHOLE pipeline runs in f64 (BLAS matmul + vector ops, no
+        # u64 casts): every intermediate is an integer < 2^53, so no f64
+        # rounding ever occurs — products are 48-bit, per-position sums
+        # < L*2^49, carry-normalized words are 16-bit.
+        c_lo = (ctil & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        c_hi = (ctil >> np.uint64(32)).astype(np.float64)
+        cache2 = getattr(self, "_fcrt_cache2", None)
+        if cache2 is None:
+            r16f = r16.astype(np.float64)
+            # group-conversion matrix: words in triples (48-bit groups sum
+            # exactly in f64), combined compensated below
+            G = (W16 + 2) // 3
+            gmat = np.zeros((G, W16), dtype=np.float64)
+            for w in range(W16):
+                gmat[w // 3, w] = 2.0 ** (16.0 * (w - 3 * (w // 3)))
+            gscale = np.power(2.0, 48.0 * np.arange(G) - 32.0 * K)
+            cache2 = (r16f, gmat, gscale)
+            self._fcrt_cache2 = cache2
+        r16f, gmat, gscale = cache2
+        acc = np.zeros((W16 + 2, n), dtype=np.float64)
+        acc[:W16] += r16f.T @ c_lo
+        acc[2:W16 + 2] += r16f.T @ c_hi
+        # carry-normalize to 16-bit words (exact f64 floor/sub)
+        s16 = 1.0 / 65536.0
+        for w in range(W16 - 1):
+            cr = np.floor(acc[w] * s16)
+            acc[w] -= cr * 65536.0
+            acc[w + 1] += cr
+        acc[W16 - 1] -= np.floor(acc[W16 - 1] * s16) * 65536.0  # mod 2^(32K)
+        # center: frac >= 1/2 <=> top bit of the top word; the negative
+        # branch converts the exact two's complement 2^(32K) - acc
+        negb = acc[W16 - 1] >= 32768.0
+        comp16 = 65535.0 - acc[:W16]
+        carry = np.ones(n, dtype=np.float64)
+        for w in range(W16):
+            comp16[w] += carry
+            carry = np.floor(comp16[w] * s16)
+            comp16[w] -= carry * 65536.0
+
+        def to_f64(words):
+            # triple-grouped exact partial sums (one small dgemm), then a
+            # top-down compensated combine of the ~6 group values
+            g = gmat @ words[:W16] if words.shape[0] != gmat.shape[1] \
+                else gmat @ words
+            val = np.zeros(n, dtype=np.float64)
+            comp = np.zeros(n, dtype=np.float64)
+            for k in range(g.shape[0] - 1, -1, -1):
+                x = g[k] * gscale[k]
+                t = val + x
+                comp += np.where(val >= x, (val - t) + x, (x - t) + val)
+                val = t
+            return val + comp
+
+        frac = np.where(negb, -to_f64(comp16), to_f64(acc[:W16]))
+        return frac * float(self.prod)
+
     # -- device tables ------------------------------------------------------
     def pack(self) -> dict:
         if self._pack is None:
