@@ -22,6 +22,8 @@ claim, until real multi-chip hardware exists (VERDICT r03 item 6):
 
 Run:  python scripts/scaling_stats.py            # partition table
       python scripts/scaling_stats.py --timing   # + 2-process weak scaling
+      python scripts/scaling_stats.py --vdev     # + 1/2/4/8 virtual-device
+                                                 #   single-process sweep
 """
 
 from __future__ import annotations
@@ -180,11 +182,61 @@ def timing() -> None:
           f"{(0.5 - eff) / 0.5:.2%}")
 
 
+def vdev_worker(ndev: int) -> None:
+    """Single-process weak scaling over VIRTUAL devices (no distributed
+    runtime at all): B_PER_DEV per device, batch sharded over an
+    (ndev x 1) mesh.  Isolates the GSPMD/XLA partitioning cost from the
+    jax.distributed coordination cost — VERDICT r04 item 9's
+    stands-on-its-own row (CAVEAT: all virtual devices share this host's
+    physical cores, so ct/s cannot exceed the 1-device row; FLAT ct/s
+    across the sweep = zero partitioning overhead)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", ndev)
+    import jax.numpy as jnp
+
+    from troy_tpu.parallel import mesh as M
+
+    batch = B_PER_DEV * ndev
+    step, d1, d2, keys = _build(batch)
+    mesh = M.make_mesh(limb=1)
+    spec = M.ct_batch_spec(mesh, shard_limbs=False, ndim=jnp.asarray(d1).ndim)
+    rep = jax.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    dt = _timed_steps(step, jax.device_put(jnp.asarray(d1), spec),
+                      jax.device_put(jnp.asarray(d2), spec),
+                      jax.device_put(jnp.asarray(keys), rep), spec, rep)
+    print(f"vdev={ndev} batch={batch} ms/step={dt * 1e3:.2f} "
+          f"ct/s={batch / dt:.0f} per-ct-ms={dt / batch * 1e3:.3f}",
+          flush=True)
+
+
+def vdev_sweep() -> None:
+    """Single-process virtual-device weak-scaling table (1/2/4/8 devices)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    print("# single-process virtual-device weak scaling (shared physical "
+          "cores: flat per-ct cost = zero GSPMD partitioning overhead)")
+    for ndev in (1, 2, 4, 8):
+        env = dict(os.environ, TROY_SS_ROLE="vdev", TROY_SS_NDEV=str(ndev),
+                   PYTHONPATH=repo)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, cwd=repo,
+            capture_output=True, text=True, timeout=600)
+        if out.returncode:
+            raise SystemExit(out.stderr[-2000:])
+        print(next(l for l in out.stdout.splitlines()
+                   if l.startswith("vdev=")), flush=True)
+
+
 if __name__ == "__main__":
     if os.environ.get("TROY_SS_ROLE") == "worker":
         timing_worker(int(os.environ["TROY_SS_NPROC"]),
                       int(os.environ["TROY_SS_PID"]))
+    elif os.environ.get("TROY_SS_ROLE") == "vdev":
+        vdev_worker(int(os.environ["TROY_SS_NDEV"]))
     elif "--timing" in sys.argv:
         timing()
+    elif "--vdev" in sys.argv:
+        vdev_sweep()
     else:
         partition_table()

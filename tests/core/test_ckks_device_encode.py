@@ -367,3 +367,17 @@ class TestMultiwordTierBound:
                         f"> bound {bound}")
                     checked += 1
         assert checked >= 10  # the envelope was actually swept
+
+
+def test_decode_device_margin_gate():
+    """log2(Q/scale) > 120 must raise with a clear pointer to decode()
+    (the dd-f32 stages cannot represent Q/scale past the f32 exponent)."""
+    import pytest
+
+    g = GeneralHeContext("CKKS", 64, q_bits=(30, 30, 30, 30, 30, 30),
+                         scale=2.0 ** 20)
+    rng = np.random.default_rng(31)
+    v = rng.uniform(-1, 1, g.encoder.slot_count)
+    pt = g.encoder.encode(v, scale=2.0 ** 20)  # margin = 150 - 20 = 130
+    with pytest.raises(ValueError, match="120-bit device envelope"):
+        g.encoder.decode_device(pt)

@@ -306,8 +306,15 @@ class CKKSEncoder:
         return cache[key]
 
     def decode_device(self, plain: Plaintext) -> np.ndarray:
-        """Decode fully on device — the serving fast path, valid at ANY
-        level/scale state (fresh or rescaled).
+        """Decode fully on device — the serving fast path, valid at any
+        level/scale state with log2(Q/scale) <= 120 (fresh or rescaled).
+
+        Selection rule: use decode_device whenever the margin fits the
+        120-bit envelope (it raises a ValueError otherwise) — i.e. for
+        every post-rescale/serving plaintext; use `decode` (host, exact
+        big-int CRT via rns_base.compose_centered_f64_host) for fresh
+        plaintexts at deep chains or when bit-exact round-half-away
+        rounding of the composed integers matters.
 
         The round-2 implementation summed y_i/q_i in dd floats, whose O(1)
         terms cancel down to the tiny fraction value/Q, leaving ~2^-48
@@ -328,6 +335,16 @@ class CKKSEncoder:
         cd = self.context.get_context_data(plain.parms_id)
         Q = cd.total_coeff_modulus
         margin = max(0.0, Q.bit_length() - math.log2(plain.scale))
+        if margin > 120:
+            # The dd-f32 stages cannot represent Q/scale (f32 exponent caps
+            # at 2^127) nor the centered fraction value/Q below ~2^-126.
+            # This is the serving envelope: post-rescale plaintexts always
+            # sit far below it; a FRESH never-rescaled plaintext at a deep
+            # chain may exceed it — decode() (host path) handles those.
+            raise ValueError(
+                "[CKKSEncoder.decode_device] log2(Q/scale) = "
+                f"{margin:.0f} exceeds the 120-bit device envelope; "
+                "use decode() (host path) at this level/scale")
         # truncation term (Q/scale)*2^-(32(K-4)) kept below 2^-40
         K = max(5, 4 + math.ceil((margin + 40) / 32))
         qs_h, qs_l = DD.ratio_dd(Q, plain.scale)
