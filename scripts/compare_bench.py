@@ -16,16 +16,24 @@ import re
 import sys
 
 _LINE = re.compile(r"^\t(?P<name>[\w()+-]+): (?P<val>[\d.]+) (?P<unit>ns|us|ms|s)")
+# troybench_tpu markdown rows: "| op name | 1.234 | 77.1 |" (ms / batched
+# step, with an optional "(B=1)" suffix on host rows)
+_MD = re.compile(r"^\| (?P<name>[^|]+?) \| (?P<val>[\d.]+)(?: \(B=1\))? \|")
 _SCALE = {"ns": 1.0, "us": 1e3, "ms": 1e6, "s": 1e9}
 
 
 def parse(path: str) -> dict[str, float]:
-    """op name -> nanoseconds."""
+    """op name -> nanoseconds.  Accepts both the troybench.py timer format
+    and the troybench_tpu.py markdown tables (ms / batched step column)."""
     out = {}
     for line in open(path):
         m = _LINE.match(line)
         if m:
             out[m.group("name")] = float(m.group("val")) * _SCALE[m.group("unit")]
+            continue
+        m = _MD.match(line)
+        if m and m.group("name") not in ("op", "---"):
+            out[m.group("name").strip()] = float(m.group("val")) * 1e6
     return out
 
 

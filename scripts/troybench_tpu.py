@@ -425,6 +425,10 @@ def slope_time(step, cur0, aux, reps_hi, reps_lo):
 
 
 def main():
+    # TPU default backend mirrors bench.py: pallas_mxu is fastest on the
+    # chip; the CPU-subprocess setup and TROY_PEROP_CPU runs keep sixstep
+    if os.environ.get("TROY_PEROP_CPU") != "1":
+        os.environ.setdefault("TROY_NTT_BACKEND", "pallas_mxu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--scheme", default="bfv", choices=["bfv", "bgv", "ckks"])
     ap.add_argument("-n", "--poly-degree", type=int, default=8192)
@@ -443,7 +447,8 @@ def main():
     path = _setup_path(args)
     if not os.path.exists(path):
         _log("setup (cpu subprocess, cold cache)...")
-        env = dict(os.environ, JAX_PLATFORMS="cpu", TROY_PEROP_ROLE="setup")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", TROY_PEROP_ROLE="setup",
+                   TROY_NTT_BACKEND="sixstep")
         subprocess.run([sys.executable, os.path.abspath(__file__)]
                        + sys.argv[1:], check=True, env=env,
                        cwd=os.path.dirname(os.path.dirname(
@@ -482,7 +487,8 @@ def main():
     for name, t in sorted(host.items()):
         print(f"| {name} | {t * 1e3:.3f} (B=1) | {t * 1e6:.1f} |")
     cheap = {"negate", "add", "multiply_plain", "mod_switch_to_next",
-             "rescale_to_next"}
+             "rescale_to_next", "encode_simd (device)",
+             "decode_simd (device)", "decrypt (device)"}
     for name, spec in steps.items():
         aux_key, step = spec[0], spec[1]
         cur_key = spec[2] if len(spec) > 2 else "d1"
