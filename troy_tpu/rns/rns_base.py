@@ -153,9 +153,26 @@ class RNSBase:
                 ctil[i] = (arr[i].astype(np.uint64)
                            * np.uint64(self.inv_punctured[i])) % np.uint64(q)
             else:
-                ctil[i] = np.asarray(
-                    arr[i].astype(object) * self.inv_punctured[i] % q,
-                    dtype=np.uint64)
+                # wide primes (q < 2^61): Shoup multiply in numpy u64 lanes
+                # (a 64x64 product overflows u64, so use hi = floor(r*ws /
+                # 2^64) via 32-bit split products, then r*w - hi*q in
+                # wrapping u64 — exact, value < 2q, one csub); the previous
+                # object-dtype row was ~60% of the wide compose cost
+                w = self.inv_punctured[i]
+                ws = (w << 64) // q
+                r = arr[i].astype(np.uint64)
+                m32 = np.uint64(0xFFFFFFFF)
+                r_lo, r_hi = r & m32, r >> np.uint64(32)
+                s_lo, s_hi = np.uint64(ws & 0xFFFFFFFF), np.uint64(ws >> 32)
+                t0 = r_lo * s_lo
+                t1 = r_hi * s_lo
+                t2 = r_lo * s_hi
+                t3 = r_hi * s_hi
+                cross = (t0 >> np.uint64(32)) + (t1 & m32) + (t2 & m32)
+                hi = t3 + (t1 >> np.uint64(32)) + (t2 >> np.uint64(32)) \
+                    + (cross >> np.uint64(32))
+                v = r * np.uint64(w) - hi * np.uint64(q)  # wrapping, < 2q
+                ctil[i] = np.where(v >= np.uint64(q), v - np.uint64(q), v)
         # acc16[p] = sum_{l, c, j: j+2c=p} ctil_chunk[l,c] * r16[l,j].
         # The WHOLE pipeline runs in f64 (BLAS matmul + vector ops, no
         # u64 casts): every intermediate is an integer < 2^53, so no f64
