@@ -224,7 +224,8 @@ def main() -> None:
         env.pop("JAX_PLATFORMS", None)  # default device = the real TPU
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--case", case],
-            env=env, cwd=repo, timeout=900)
+            env=env, cwd=repo,
+            timeout=int(os.environ.get("TROY_RECHECK_TIMEOUT", "900")))
         results[case] = "PASS" if r.returncode == 0 else "FAIL"
     print(json.dumps(results))
     if any(v != "PASS" for v in results.values()):
